@@ -1,13 +1,145 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Graph
+import graft.algo.{MultiBfs, Geometric}
+import graft.data.Tpch
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query reads only the driver parquet under `dir` and has a DuckDB
+  * oracle in [[oracleSql]] computing the same relation (same column names,
+  * doubles rounded to 6dp on both sides, explicit ORDER BY for determinism).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: top-10 vertices by exact harmonic centrality of the sparse
+    * part–supplier graph — full all-vertices multi-source BFS (the engine
+    * spine: scan → symmetrize → frontier⋈adjacency supersteps → Σ1/d → top-k).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val sym = Graph.symmetrize(Tpch.sparseEdges(spark, dir))
+    val adj = Graph.adjacency(sym).persist()
+    val sources = Graph.vertices(sym).select(col("id").as("pivot"))
+    val dist = MultiBfs.run(spark, adj, sources)
+    Geometric.scores(dist)
+      .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
+      .orderBy(desc("harmonic"), asc("id"))
+      .limit(10)
+  }
+
+  // ---- shared builders ----------------------------------------------------
+
+  private def sparseSym(spark: SparkSession, dir: String): DataFrame =
+    Graph.symmetrize(Tpch.sparseEdges(spark, dir))
+
+  /** Geometric scores for the `nPivots` smallest vertex IDs of the sparse graph. */
+  private def pivotScores(spark: SparkSession, dir: String, nPivots: Int): DataFrame = {
+    val sym = sparseSym(spark, dir)
+    val adj = Graph.adjacency(sym).persist()
+    val sources = Graph.vertices(sym).orderBy("id").limit(nPivots).select(col("id").as("pivot"))
+    Geometric.scores(MultiBfs.run(spark, adj, sources))
+  }
+
+  // ---- queries (driver runs each against the DuckDB oracle) ---------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2/P2/P5: scan → dedup → symmetrize (Transform.symmetrize, Main.java:58)
+    "g1_symmetrize" -> ((s, dir) => {
+      Graph.symmetrize(Tpch.sparseEdges(s, dir)).orderBy("src", "dst")
+    }),
+
+    // A11: degree per vertex of the symmetrized bipartite graph (Sorter.java:21)
+    "g2_degrees" -> ((s, dir) => {
+      Graph.degrees(Graph.symmetrize(Tpch.bipartiteEdges(s, dir)))
+        .orderBy("id")
+    }),
+
+    // T1+T5: degree top-k with tie extension (Sorter.java:18-26, GTLoader.java:45-52)
+    "g3_degree_topk" -> ((s, dir) => {
+      val deg = Graph.degrees(Graph.symmetrize(Tpch.bipartiteEdges(s, dir)))
+      deg
+        .withColumn("rk", rank().over(Window.orderBy(desc("degree"))))
+        .where(col("rk") <= 20)
+        .select("id", "degree")
+        .orderBy(desc("degree"), asc("id"))
+    }),
+
+    // J1 single-source: BFS hop distances from the smallest vertex (the
+    // reference visit, GeometricCentralities.java:151-207)
+    "g4_bfs" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      val src = Graph.vertices(sym).agg(min("id").as("pivot"))
+      MultiBfs.run(s, adj, src)
+        .select(col("id"), col("dist").cast("long").as("dist"))
+        .orderBy("id")
+    }),
+
+    // A1–A6: all six geometric centralities for 16 deterministic pivots
+    "g5_geometric" -> ((s, dir) => {
+      pivotScores(s, dir, 16)
+        .select(
+          col("id"),
+          col("farness"),
+          round(col("harmonic"), 6).as("harmonic"),
+          round(col("exponential"), 6).as("exponential"),
+          col("reachable"),
+          round(col("closeness"), 6).as("closeness"),
+          round(col("lin"), 6).as("lin"))
+        .orderBy("id")
+    })
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val E0Sparse = Tpch.Sql.sparse()
+  private val Sym = Tpch.Sql.symmetrize
+
+  def oracleSql: Map[String, String] = Map(
+    "g1_symmetrize" ->
+      s"""WITH e0 AS ($E0Sparse), e AS ($Sym)
+         |SELECT src, dst FROM e ORDER BY src, dst""".stripMargin,
+
+    "g2_degrees" ->
+      s"""WITH e0 AS (${Tpch.Sql.bipartite}), e AS ($Sym)
+         |SELECT src AS id, count(*) AS degree FROM e GROUP BY src ORDER BY id""".stripMargin,
+
+    "g3_degree_topk" ->
+      s"""WITH e0 AS (${Tpch.Sql.bipartite}), e AS ($Sym),
+         |d AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+         |r AS (SELECT id, degree, rank() OVER (ORDER BY degree DESC) AS rk FROM d)
+         |SELECT id, degree FROM r WHERE rk <= 20 ORDER BY degree DESC, id""".stripMargin,
+
+    "g4_bfs" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |s AS (SELECT min(src) AS m FROM e),
+         |walk(id, d) AS (
+         |  SELECT m, 0 FROM s
+         |  UNION
+         |  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 64
+         |)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "g5_geometric" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |piv AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 16),
+         |walk(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM piv
+         |  UNION
+         |  SELECT walk.pv, e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 64
+         |),
+         |dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id)
+         |SELECT pv AS id,
+         |  CAST(sum(d) AS BIGINT) AS farness,
+         |  round(sum(CASE WHEN d > 0 THEN CAST(1.0 AS DOUBLE)/d ELSE 0 END), 6) AS harmonic,
+         |  round(sum(CASE WHEN d > 0 THEN power(CAST(0.5 AS DOUBLE), d) ELSE 0 END), 6) AS exponential,
+         |  count(*) AS reachable,
+         |  round(CASE WHEN sum(d) > 0 THEN CAST(1.0 AS DOUBLE)/sum(d) ELSE 0 END, 6) AS closeness,
+         |  round(CASE WHEN sum(d) > 0 THEN CAST(count(*) AS DOUBLE)*count(*)/sum(d) ELSE 1.0 END, 6) AS lin
+         |FROM dist GROUP BY pv ORDER BY id""".stripMargin
+  )
 }
