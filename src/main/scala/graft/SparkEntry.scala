@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Graph
-import graft.algo.{MultiBfs, Geometric}
+import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles}
 import graft.data.Tpch
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -91,6 +91,49 @@ object SparkEntry {
           round(col("closeness"), 6).as("closeness"),
           round(col("lin"), 6).as("lin"))
         .orderBy("id")
+    }),
+
+    // G1/G2: connected components = min vertex ID per component (hash-min
+    // label propagation; reference prints the count, Main.java:59)
+    "g6_cc" -> ((s, dir) => {
+      val sym = Graph.symmetrize(Tpch.sparseEdges(s, dir, maxQty = 1.0))
+      val adj = Graph.adjacency(sym).persist()
+      Components.run(s, adj).labels.orderBy("id")
+    }),
+
+    "g7_cc_count" -> ((s, dir) => {
+      val sym = Graph.symmetrize(Tpch.sparseEdges(s, dir, maxQty = 1.0))
+      val adj = Graph.adjacency(sym).persist()
+      Components.run(s, adj).labels
+        .agg(countDistinct("label").as("components"))
+    }),
+
+    // G3: PageRank, damping 0.85, 10 fixed supersteps (oracle unrolls the
+    // identical recurrence); convergence-driven mode is benched separately
+    "g8_pagerank" -> ((s, dir) => {
+      val sym = Graph.symmetrize(Tpch.sparseEdges(s, dir))
+      val adj = Graph.adjacency(sym).persist()
+      PageRank.run(s, adj, damping = 0.85, maxIter = 10, tol = 0.0).ranks
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+
+    // G3: deterministic synchronous label propagation, 4 rounds
+    "g9_lpa" -> ((s, dir) => {
+      val sym = Graph.symmetrize(Tpch.sparseEdges(s, dir))
+      val adj = Graph.adjacency(sym).persist()
+      LabelProp.run(s, adj, rounds = 4).orderBy("id")
+    }),
+
+    // G3: global triangle count on the co-purchase graph (degree-ordered
+    // wedge join — orientation-invariant total, cheap oracle)
+    "g10_triangles" -> ((s, dir) => {
+      Triangles.globalCount(s, Tpch.copurchaseEdges(s, dir))
+    }),
+
+    // G3: per-vertex triangle counts
+    "g11_triangles_pervertex" -> ((s, dir) => {
+      Triangles.perVertex(s, Tpch.copurchaseEdges(s, dir)).orderBy("id")
     })
   )
 
@@ -140,6 +183,43 @@ object SparkEntry {
          |  count(*) AS reachable,
          |  round(CASE WHEN sum(d) > 0 THEN CAST(1.0 AS DOUBLE)/sum(d) ELSE 0 END, 6) AS closeness,
          |  round(CASE WHEN sum(d) > 0 THEN CAST(count(*) AS DOUBLE)*count(*)/sum(d) ELSE 1.0 END, 6) AS lin
-         |FROM dist GROUP BY pv ORDER BY id""".stripMargin
+         |FROM dist GROUP BY pv ORDER BY id""".stripMargin,
+
+    "g6_cc" ->
+      s"""WITH RECURSIVE e0 AS (${Tpch.Sql.sparse(1.0)}), e AS ($Sym),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+         |)
+         |SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "g7_cc_count" ->
+      s"""WITH RECURSIVE e0 AS (${Tpch.Sql.sparse(1.0)}), e AS ($Sym),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+         |)
+         |SELECT count(DISTINCT label) AS components
+         |FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)""".stripMargin,
+
+    "g8_pagerank" -> PageRank.oracleSql(E0Sparse, iters = 10, damping = 0.85),
+
+    "g9_lpa" -> LabelProp.oracleSql(E0Sparse, rounds = 4),
+
+    "g10_triangles" ->
+      s"""WITH e AS (${Tpch.Sql.copurchase})
+         |SELECT count(*) AS triangles
+         |FROM e a JOIN e b ON a.dst = b.src JOIN e c ON c.src = a.src AND c.dst = b.dst""".stripMargin,
+
+    "g11_triangles_pervertex" ->
+      s"""WITH e AS (${Tpch.Sql.copurchase}),
+         |t AS (
+         |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+         |  FROM e a JOIN e b ON a.dst = b.src JOIN e c ON c.src = a.src AND c.dst = b.dst),
+         |corners AS (
+         |  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+         |SELECT id, count(*) AS triangles FROM corners GROUP BY id ORDER BY id""".stripMargin
   )
 }

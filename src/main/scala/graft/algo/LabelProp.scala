@@ -1,0 +1,72 @@
+package graft.algo
+
+import graft.core.{Materializer, LocalMaterializer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Synchronous label propagation (community detection; north rule,
+  * SURVEY.md §2.12 G3). Deterministic by construction:
+  *
+  *   label_{t+1}(v) = the label most frequent among v's neighbors at t,
+  *                    ties broken by SMALLEST label; vertices keep their
+  *                    label if they have no neighbors.
+  *
+  * Initial labels = vertex IDs. Synchronous rounds + explicit tie-break make
+  * the result a pure function of (edges, rounds) — oracle-checkable, unlike
+  * the classic randomized-order LPA.
+  */
+object LabelProp {
+
+  def run(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      rounds: Int,
+      mat: Materializer = new LocalMaterializer(window = 3)): DataFrame = {
+
+    var (iter, labels) = mat.resumeIncrements().lastOption.getOrElse {
+      val init = adjacency.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+      (0, mat.iterate(init, 0, -1.0))
+    }
+
+    while (iter < rounds) {
+      iter += 1
+      val msgs = labels
+        .join(adjacency, labels("id") === adjacency("src"))
+        .select(explode(col("neighbors")).as("id"), col("label"))
+      val counts = msgs.groupBy("id", "label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(desc("c"), asc("label"))
+      val winners = counts
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id"), col("label").as("newLabel"))
+      val next = labels
+        .join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+      labels = mat.iterate(next, iter, -1.0)
+    }
+    labels
+  }
+
+  /** DuckDB oracle: the same synchronous rounds unrolled in SQL. */
+  def oracleSql(edgeSql: String, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH e0 AS ($edgeSql),\n"
+    b ++= "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),\n"
+    b ++= "n AS (SELECT DISTINCT src AS id FROM e),\n"
+    b ++= "l0 AS (SELECT id, id AS label FROM n)"
+    for (i <- 1 to rounds) {
+      b ++= s""",
+l$i AS (
+  SELECT id, label FROM (
+    SELECT e.dst AS id, l.label,
+           row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM e JOIN l${i - 1} l ON e.src = l.id
+    GROUP BY e.dst, l.label) t
+  WHERE rn = 1)"""
+    }
+    b ++= s"\nSELECT id, label FROM l$rounds ORDER BY id"
+    b.toString
+  }
+}
