@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Graph
 import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles}
 import graft.data.Tpch
+import graft.ingest.{FilesTable, EdgeDeriver}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,19 +16,22 @@ import graft.data.Tpch
   */
 object SparkEntry {
 
-  /** Flagship: top-10 vertices by exact harmonic centrality of the sparse
-    * part–supplier graph — full all-vertices multi-source BFS (the engine
-    * spine: scan → symmetrize → frontier⋈adjacency supersteps → Σ1/d → top-k).
+  /** Flagship: the full north-rule pipeline at sf0.001 — synthesize the
+    * Iceberg-shaped files table, mint dense vertex IDs, derive co-commit +
+    * import edges, symmetrize, then EXACT harmonic centrality of every file
+    * via all-vertices multi-source BFS, top-10 (scan → joins → supersteps →
+    * Σ1/d → top-k: the whole engine spine).
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val sym = Graph.symmetrize(Tpch.sparseEdges(spark, dir))
+    val (vmap, sym) = EdgeDeriver.fileGraph(spark, dir)
     val adj = Graph.adjacency(sym).persist()
     val sources = Graph.vertices(sym).select(col("id").as("pivot"))
     val dist = MultiBfs.run(spark, adj, sources)
     Geometric.scores(dist)
-      .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
-      .orderBy(desc("harmonic"), asc("id"))
+      .join(vmap, "id")
+      .select(col("extId").as("path"), round(col("harmonic"), 6).as("harmonic"))
+      .orderBy(desc("harmonic"), asc("path"))
       .limit(10)
   }
 
@@ -134,6 +138,58 @@ object SparkEntry {
     // G3: per-vertex triangle counts
     "g11_triangles_pervertex" -> ((s, dir) => {
       Triangles.perVertex(s, Tpch.copurchaseEdges(s, dir)).orderBy("id")
+    }),
+
+    // North-rule ingest: files-table generator parity + sha256 per-row
+    // invariant (BASELINE.json input_hint)
+    "f1_files_sha" -> ((s, dir) => {
+      FilesTable.files(s, dir)
+        .select(col("path"), sha2(col("content"), 256).as("sha"))
+        .distinct()
+        .orderBy("path")
+    }),
+
+    // P1: dense vertex-ID minting from external path IDs (GraphBuilder.java:17-33)
+    "f2_vertexmap" -> ((s, dir) => {
+      EdgeDeriver.vertexMap(FilesTable.files(s, dir))
+        .select(col("extId"), col("id"))
+        .orderBy("id")
+    }),
+
+    // files → co-commit ∪ import edges → symmetrize → degrees (whole ingest)
+    "f3_filegraph_degrees" -> ((s, dir) => {
+      val (_, sym) = EdgeDeriver.fileGraph(s, dir)
+      Graph.degrees(sym).orderBy("id")
+    }),
+
+    // harmonic centrality on the file graph, 8 deterministic pivots
+    "f4_filegraph_harmonic" -> ((s, dir) => {
+      val (_, sym) = EdgeDeriver.fileGraph(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      val sources = Graph.vertices(sym).orderBy("id").limit(8).select(col("id").as("pivot"))
+      Geometric.scores(MultiBfs.run(s, adj, sources))
+        .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("id")
+    }),
+
+    // sha256 multiset invariance under an engine-side rewrite (repartition +
+    // parquet round-trip) of the files table — the north-rule row invariant
+    "f5_sha_invariant" -> ((s, dir) => {
+      val files = FilesTable.files(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_rewrite_${System.nanoTime()}"
+      files.repartition(7).write.mode("overwrite").parquet(tmp)
+      val back = s.read.parquet(tmp)
+      def shaCounts(df: DataFrame) =
+        df.select(sha2(col("content"), 256).as("sha")).groupBy("sha").agg(count(lit(1)).as("c"))
+      val mismatches = shaCounts(files).withColumnRenamed("c", "c1")
+        .join(shaCounts(back).withColumnRenamed("c", "c2"), Seq("sha"), "full")
+        .where(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+        .count()
+      files.agg(
+        count(lit(1)).as("rows"),
+        countDistinct("path").as("paths"),
+        countDistinct(sha2(col("content"), 256)).as("shas"),
+        lit(mismatches).as("rewrite_mismatches"))
     })
   )
 
@@ -220,6 +276,40 @@ object SparkEntry {
          |  FROM e a JOIN e b ON a.dst = b.src JOIN e c ON c.src = a.src AND c.dst = b.dst),
          |corners AS (
          |  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
-         |SELECT id, count(*) AS triangles FROM corners GROUP BY id ORDER BY id""".stripMargin
+         |SELECT id, count(*) AS triangles FROM corners GROUP BY id ORDER BY id""".stripMargin,
+
+    // NOTE: the f-oracles embed multi-line fragments — concatenate, never
+    // stripMargin over interpolated SQL (it would eat the `||` operators)
+    "f1_files_sha" ->
+      ("WITH " + FilesTable.filesSql +
+        "\nSELECT DISTINCT path, sha256(content) AS sha FROM files ORDER BY path"),
+
+    "f2_vertexmap" ->
+      ("WITH " + FilesTable.filesSql + ",\n" + EdgeDeriver.edgesSql +
+        "\nSELECT extId, id FROM vmap ORDER BY id"),
+
+    "f3_filegraph_degrees" ->
+      ("WITH " + FilesTable.filesSql + ",\n" + EdgeDeriver.edgesSql +
+        "\nSELECT src AS id, count(*) AS degree FROM fedges GROUP BY src ORDER BY id"),
+
+    "f4_filegraph_harmonic" ->
+      ("WITH RECURSIVE " + FilesTable.filesSql + ",\n" + EdgeDeriver.edgesSql + """,
+piv AS (SELECT DISTINCT src AS id FROM fedges ORDER BY id LIMIT 8),
+walk(pv, id, d) AS (
+  SELECT id, id, 0 FROM piv
+  UNION
+  SELECT walk.pv, fedges.dst, walk.d + 1 FROM walk JOIN fedges ON walk.id = fedges.src WHERE walk.d < 64
+),
+dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id)
+SELECT pv AS id,
+  round(sum(CASE WHEN d > 0 THEN CAST(1.0 AS DOUBLE)/d ELSE 0 END), 6) AS harmonic
+FROM dist GROUP BY pv ORDER BY id"""),
+
+    "f5_sha_invariant" ->
+      ("WITH " + FilesTable.filesSql + """
+SELECT count(*) AS rows, count(DISTINCT path) AS paths,
+  count(DISTINCT sha256(content)) AS shas,
+  CAST(0 AS BIGINT) AS rewrite_mismatches
+FROM files""")
   )
 }
