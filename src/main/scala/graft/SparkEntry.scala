@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Graph
-import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles}
+import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles, Chechik}
 import graft.data.Tpch
 import graft.ingest.{FilesTable, EdgeDeriver}
 
@@ -138,6 +138,17 @@ object SparkEntry {
     // G3: per-vertex triangle counts
     "g11_triangles_pervertex" -> ((s, dir) => {
       Triangles.perVertex(s, Tpch.copurchaseEdges(s, dir)).orderBy("id")
+    }),
+
+    // Chechik sampled top-k closeness, certified exact (T7 + R1/R2/A8-A10);
+    // the certified result IS the exact top-k, so the oracle computes it
+    // exhaustively — the sampling must earn its correctness
+    "g12_chechik_topk" -> ((s, dir) => {
+      val sym = Graph.symmetrize(Tpch.sparseEdges(s, dir))
+      val adj = Graph.adjacency(sym).persist()
+      val (topk, _) = Chechik.topkCloseness(s, adj, k = 10)
+      topk.select(col("id"), col("farness"), round(col("closeness"), 6).as("closeness"))
+        .orderBy("farness", "id")
     }),
 
     // North-rule ingest: files-table generator parity + sha256 per-row
@@ -277,6 +288,19 @@ object SparkEntry {
          |corners AS (
          |  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
          |SELECT id, count(*) AS triangles FROM corners GROUP BY id ORDER BY id""".stripMargin,
+
+    "g12_chechik_topk" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |walk(pv, id, d) AS (
+         |  SELECT src, src, 0 FROM e
+         |  UNION
+         |  SELECT walk.pv, e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 32
+         |),
+         |dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id),
+         |far AS (SELECT pv AS id, CAST(sum(d) AS BIGINT) AS farness FROM dist GROUP BY pv),
+         |r AS (SELECT id, farness, rank() OVER (ORDER BY farness ASC) AS rk FROM far)
+         |SELECT id, farness, round(CAST(1.0 AS DOUBLE)/farness, 6) AS closeness
+         |FROM r WHERE rk <= 10 ORDER BY farness, id""".stripMargin,
 
     // NOTE: the f-oracles embed multi-line fragments — concatenate, never
     // stripMargin over interpolated SQL (it would eat the `||` operators)

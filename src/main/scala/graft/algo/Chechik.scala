@@ -1,0 +1,139 @@
+package graft.algo
+
+import graft.core.{Materializer, LocalMaterializer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Chechik–Cohen–Kaplan sampled top-k closeness (the reference's flagship,
+  * ChechikEstimator.java + ChechikFarnessEstimator.java +
+  * ChechikTopCloseness.java), re-expressed as Dataset supersteps:
+  *
+  *  1. pivot sample of size max(⌈log₂ n⌉, 2) (ChechikEstimator.java:68-70)
+  *  2. multi-source BFS from pivots → λ(w) = max(1/n, max_s d(s,w)/F(s))
+  *     (A9, ChechikEstimator.java:52,151-160)
+  *  3. keep-probability p_v = min(1, K·λ_v), K = ⌈ln n / ε²⌉
+  *     (A10, ChechikEstimator.java:46,166-172)
+  *  4. Bernoulli sample S by p_v; multi-source BFS from S; Horvitz–Thompson
+  *     farness estimate apxF(v) = Σ_{s∈S} d(s,v)/p_s
+  *     (A8, ChechikFarnessEstimator.java:143,158-161)
+  *  5. certification loop (T7, ChechikTopCloseness.java:148-153,182-219):
+  *     exact-BFS candidates in ascending apxF batches; certify processed v
+  *     once exactCloseness(v) ≥ (1+ε)·max apxCloseness of the unprocessed;
+  *     stop at ≥ k certified.
+  *
+  * Determinism: the reference uses Math.random() (ChechikEstimator.java:60);
+  * we use xxhash64-derived uniforms keyed by (seed, vertex id) — fully
+  * deterministic and partition-independent (SURVEY.md §4.2.4), unlike
+  * Spark's rand() whose draw depends on partition layout.
+  */
+object Chechik {
+
+  case class Telemetry(
+      n: Long, initialPivots: Long, sampleSize: Long, exactBfs: Long,
+      totalBfs: Long, supersteps: Long)
+
+  /** U(0,1) pseudo-random, deterministic in (seed, id). */
+  private def u01(seed: Int, id: org.apache.spark.sql.Column) =
+    pmod(xxhash64(lit(seed), id), lit(1000000L)).cast("double") / 1000000.0
+
+  def topkCloseness(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      k: Int,
+      eps: Double = 0.1,
+      seed: Int = 42,
+      mat: Materializer = new LocalMaterializer(window = 0)): (DataFrame, Telemetry) = {
+
+    var supersteps = 0L
+    val countStep = (_: Int, _: Long) => supersteps += 1
+
+    val verts = adjacency.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val n = verts.count()
+    val nPivots = math.max(math.ceil(math.log(n.toDouble) / math.log(2)).toLong, 2L).min(n)
+
+    // 1. uniform pivot sample without replacement, seeded (R1)
+    val pivots = verts
+      .orderBy(xxhash64(lit(seed), col("id")))
+      .limit(nPivots.toInt)
+      .select(col("id").as("pivot"))
+
+    // 2. λ coefficients from the pivot BFS
+    val pivotDist = MultiBfs.run(spark, adjacency, pivots, onSuperstep = countStep)
+      .localCheckpoint(true)
+    val totals = pivotDist.groupBy("pivot").agg(sum("dist").as("total"))
+    val lambda = pivotDist
+      .join(totals.where(col("total") > 0), "pivot")
+      .select(col("id"), (col("dist").cast("double") / col("total")).as("r"))
+      .groupBy("id").agg(max("r").as("maxr"))
+    val lambdas = verts
+      .join(lambda, Seq("id"), "left")
+      .select(col("id"), greatest(coalesce(col("maxr"), lit(0.0)), lit(1.0 / n)).as("lambda"))
+
+    // 3-4. keep probabilities + Bernoulli sample S (R2), HT farness estimate
+    val kCoef = math.ceil(math.log(n.toDouble) / (eps * eps))
+    val probs = lambdas.select(col("id"), least(lit(1.0), lit(kCoef) * col("lambda")).as("p"))
+    val sample = probs.where(u01(seed + 1, col("id")) < col("p")).localCheckpoint(true)
+    val sampleSize = sample.count()
+
+    val sampleDist = MultiBfs.run(
+      spark, adjacency, sample.select(col("id").as("pivot")), onSuperstep = countStep)
+    val apxFarness = sampleDist
+      .join(sample.select(col("id").as("pivot"), col("p")), "pivot")
+      .groupBy("id")
+      .agg(sum(col("dist").cast("double") / col("p")).as("apxF"))
+
+    // 5. certification loop. Schedule position via a global row_number — the
+    // schedule is per-vertex metadata (n rows, tiny next to the edge table);
+    // at extreme n switch to range-partitioned rank.
+    val schedule = verts
+      .join(apxFarness, Seq("id"), "left")
+      .select(col("id"), coalesce(col("apxF"), lit(Double.MaxValue)).as("apxF"))
+      .withColumn("pos", row_number().over(Window.orderBy(asc("apxF"), asc("id"))).cast("long") - 1)
+      .localCheckpoint(true)
+
+    val batch = math.max(k, 32)
+    var processed: Option[DataFrame] = None
+    var l = 0L
+    var certified = 0L
+    var exactBfs = 0L
+    while (certified < k && l < n) {
+      val batchIds = schedule.where(col("pos") >= l && col("pos") < l + batch)
+        .select(col("id").as("pivot"))
+      val exactF = MultiBfs.run(spark, adjacency, batchIds, onSuperstep = countStep)
+        .groupBy(col("pivot").as("id"))
+        .agg(sum("dist").cast("long").as("farness"))
+      processed = Some(mat.iterate(
+        processed.map(_.unionAll(exactF)).getOrElse(exactF), (l / batch).toInt, certified.toDouble))
+      l += batch
+      exactBfs += batchIds.count()
+      // largest possible true closeness among unprocessed candidates
+      val remRow = schedule.where(col("pos") >= l)
+        .agg(max(lit(1.0) / nullif(col("apxF"), lit(0.0))))
+        .head()
+      val maxRemApxCl = if (l >= n || remRow.isNullAt(0)) 0.0 else remRow.getDouble(0)
+      val thresh = (1.0 + eps) * maxRemApxCl
+      certified = processed.get
+        .where(col("farness") > 0 && lit(1.0) / col("farness") >= thresh)
+        .count()
+    }
+
+    // top-k among certified, ties on the k-th farness extended (T5,
+    // GTLoader.java:45-52); farness is an integer ⇒ ranking is float-free
+    // farness 0 = isolated vertex = closeness 0: ranks LAST, not first
+    val topk = processed.get
+      .withColumn("frank", when(col("farness") > 0, col("farness")).otherwise(Long.MaxValue))
+      .withColumn("rk", rank().over(Window.orderBy(asc("frank"))))
+      .where(col("rk") <= k)
+      .select(
+        col("id"), col("farness"),
+        when(col("farness") > 0, lit(1.0) / col("farness")).otherwise(0.0).as("closeness"))
+      .orderBy(asc("farness"), asc("id"))
+
+    val telemetry = Telemetry(
+      n = n, initialPivots = nPivots, sampleSize = sampleSize,
+      exactBfs = exactBfs, totalBfs = nPivots + sampleSize + exactBfs,
+      supersteps = supersteps)
+    (topk, telemetry)
+  }
+}
