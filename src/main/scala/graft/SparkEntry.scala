@@ -7,6 +7,9 @@ import graft.core.Graph
 import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles, Chechik}
 import graft.data.Tpch
 import graft.ingest.{FilesTable, EdgeDeriver}
+import graft.text.{TextOps, Dedup}
+import graft.ann.Ann
+import graft.multimodal.MultiModal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -201,6 +204,97 @@ object SparkEntry {
         countDistinct("path").as("paths"),
         countDistinct(sha2(col("content"), 256)).as("shas"),
         lit(mismatches).as("rewrite_mismatches"))
+    }),
+
+    // ---- training-data pipeline ops (documents / embeddings tables) ----
+
+    // token counting: whitespace + BPE-ish regex
+    "t1_tokens" -> ((s, dir) => {
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws"),
+          TextOps.bpeCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: length/stopword-ratio composite. Scores are integer
+    // micro-units (x1e-6) computed with exact integer arithmetic — float
+    // rounding at tie boundaries differs between engines, integers never do
+    "t2_quality" -> ((s, dir) => {
+      val nTok = size(TextOps.tokens(col("text"))).cast("long")
+      val nStop = TextOps.stopwordCount(col("text")).cast("long")
+      val nChr = length(regexp_replace(col("text"), " ", "")).cast("long")
+      // 1e6 * (0.5*min(ntok/100,1) + 0.3*(1-stop_ratio) + 0.2*min(avg_tok/8,1))
+      val num2 = lit(300000L) * (nTok - nStop) + least(lit(25000L) * nChr, lit(200000L) * nTok)
+      val qualityE6 = lit(5000L) * least(nTok, lit(100L)) + floor(num2 / nTok).cast("long")
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          floor(lit(1000000L) * nStop / nTok).cast("long").as("stop_ratio_e6"),
+          qualityE6.as("quality_e6"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic vs labeled lang: confusion matrix
+    "t3_langid" -> ((s, dir) => {
+      Tpch.table(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // document fingerprinting
+    "t4_fingerprint" -> ((s, dir) => {
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: hash-groupBy on normalized content
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(Tpch.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs (3-gram shingles, tau = 0.8)
+    "d2_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // MinHash+LSH candidates (4 bands x 2 rows), verified at tau = 0.8
+    "d3_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(Tpch.table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rows = 2, minJaccard = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // SimHash 16-bit signatures
+    "d4_simhash" -> ((s, dir) => {
+      Tpch.table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-10 to vec 0 (ANN exactness baseline)
+    "a1_knn_brute" -> ((s, dir) => {
+      Ann.knnBrute(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10)
+    }),
+
+    // sign-LSH bucketed ANN (the scale path)
+    "a2_knn_lsh" -> ((s, dir) => {
+      Ann.knnLsh(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10, nBits = 8)
+    }),
+
+    // multimodal: binary media frame-sampling + feature stub
+    "m1_frames" -> ((s, dir) => {
+      MultiModal.frameFeatures(
+        MultiModal.withMedia(Tpch.table(s, dir, "documents"), "doc_id", "text"),
+        nFrames = 4, stride = 64, width = 16)
+        .orderBy("doc_id", "frame")
     })
   )
 
@@ -208,6 +302,30 @@ object SparkEntry {
 
   private val E0Sparse = Tpch.Sql.sparse()
   private val Sym = Tpch.Sql.symmetrize
+
+  /** DuckDB fragment: (doc_id, distinct 3-gram shingles) as CTE `shdocs`. */
+  private val ShinglesSql =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |shdocs AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM tok WHERE len(tk) >= 3)""".stripMargin
+
+  /** DuckDB fragment: jaccard over CTEs `cand(a,b)` + `shx(id,s)`. */
+  private val JaccardTailSql =
+    """sizes AS (SELECT id, count(*) AS c FROM shx GROUP BY id),
+      |inter AS (SELECT cand.a, cand.b, count(*) AS i
+      |  FROM cand JOIN shx x ON x.id = cand.a JOIN shx y ON y.id = cand.b AND x.s = y.s
+      |  GROUP BY cand.a, cand.b),
+      |jac AS (SELECT inter.a, inter.b,
+      |  CAST(inter.i AS DOUBLE) / (ca.c + cb.c - inter.i) AS jaccard
+      |  FROM inter JOIN sizes ca ON ca.id = inter.a JOIN sizes cb ON cb.id = inter.b)""".stripMargin
+
+  /** DuckDB fragment: double cosine similarity between list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin.replace("\n", " ")
 
   def oracleSql: Map[String, String] = Map(
     "g1_symmetrize" ->
@@ -334,6 +452,109 @@ FROM dist GROUP BY pv ORDER BY id"""),
 SELECT count(*) AS rows, count(DISTINCT path) AS paths,
   count(DISTINCT sha256(content)) AS shas,
   CAST(0 AS BIGINT) AS rewrite_mismatches
-FROM files""")
+FROM files"""),
+
+    "t1_tokens" ->
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextOps.BpeRe}')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS nstop,
+         |  CAST(len(replace(text, ' ', '')) AS BIGINT) AS nchr
+         |  FROM documents)
+         |SELECT doc_id, ntok AS n_tokens,
+         |  (1000000 * nstop) // ntok AS stop_ratio_e6,
+         |  5000 * LEAST(ntok, 100)
+         |    + (300000 * (ntok - nstop) + LEAST(25000 * nchr, 200000 * ntok)) // ntok AS quality_e6
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" -> {
+      val scoreCols = TextOps.LangMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${m.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH sc AS (SELECT lang, text, $scoreCols FROM documents),
+         |sb AS (SELECT lang, text, $best AS best, s_${langs.mkString(", s_")} FROM sc),
+         |pred AS (SELECT lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' ELSE $pick END AS predicted
+         |  FROM sb)
+         |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dups
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "d2_jaccard_pairs" ->
+      s"""WITH $ShinglesSql,
+         |shx AS (SELECT doc_id AS id, u.s FROM shdocs, UNNEST(shdocs.sh) u(s)),
+         |cand AS (SELECT x.id AS a, y.id AS b FROM shx x JOIN shx y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2),
+         |$JaccardTailSql
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    "d3_minhash_lsh" -> {
+      val sigs = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || '|' || s))) AS mh$i").mkString(",\n  ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS bucket FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $ShinglesSql,
+         |sig AS (SELECT doc_id, sh, $sigs FROM shdocs WHERE len(sh) > 0),
+         |buckets AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |shx AS (SELECT doc_id AS id, u.s FROM shdocs, UNNEST(shdocs.sh) u(s)),
+         |$JaccardTailSql
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin
+    },
+
+    "d4_simhash" ->
+      """WITH tok AS (SELECT doc_id, u.t FROM
+        |  (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) d, UNNEST(d.tk) u(t)),
+        |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) AS v FROM tok),
+        |bits AS (SELECT doc_id, bb.b AS b,
+        |  SUM(CASE WHEN (v >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(generate_series(0, 15)) AS b) bb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS sig
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "a1_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS sim
+         |  FROM embeddings e, q WHERE vec_id <> 0),
+         |r AS (SELECT vec_id, sim, rank() OVER (ORDER BY sim DESC) AS rk FROM s)
+         |SELECT vec_id, sim FROM r WHERE rk <= 10 ORDER BY sim DESC, vec_id""".stripMargin,
+
+    "a2_knn_lsh" -> {
+      val bucket = (0 until 8).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket FROM b WHERE vec_id = 0),
+         |s AS (SELECT b.vec_id, round(${cosSql("b.embedding", "q.qe")}, 6) AS sim
+         |  FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> 0),
+         |r AS (SELECT vec_id, sim, rank() OVER (ORDER BY sim DESC) AS rk FROM s)
+         |SELECT vec_id, sim FROM r WHERE rk <= 10 ORDER BY sim DESC, vec_id""".stripMargin
+    },
+
+    "m1_frames" ->
+      """WITH f AS (SELECT doc_id, hex(encode(text)) AS h, ff.frame AS frame
+        |  FROM documents, (SELECT unnest(generate_series(0, 3)) AS frame) ff),
+        |fr AS (SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  substr(h, frame * 128 + 1, 32) AS fh FROM f)
+        |SELECT doc_id, frame, md5(fh) AS feature FROM fr
+        |WHERE len(fh) = 32 ORDER BY doc_id, frame""".stripMargin
   )
 }
