@@ -1,0 +1,116 @@
+package graft
+
+import graft.algo.{PageRank, Components, LabelProp, Triangles, Chechik, MultiBfs}
+import graft.core.{Graph, DirMaterializer}
+import org.apache.spark.sql.functions._
+
+class AlgoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pagerank: uniform on cycle4; sums to 1") {
+    val adj = adjOf(cycle4)
+    val r = PageRank.run(spark, adj, maxIter = 20, tol = 1e-9).ranks
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("pr")).toMap
+    (0L to 3L).foreach(v => assert(approxEqual(r(v), 0.25)))
+    assert(approxEqual(r.values.sum, 1.0))
+  }
+
+  test("pagerank matches in-memory oracle to 1e-6 convergence on ER graph") {
+    val edges = erGraph(60, 0.08, seed = 4)
+    val adj = adjOf(edges)
+    val res = PageRank.run(spark, adj, maxIter = 200, tol = 1e-9)
+    val got = res.ranks.collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("pr")).toMap
+    val a = InMemoryOracle.adj(edges)
+    val exp = InMemoryOracle.pagerank(a, InMemoryOracle.nodes(edges), 0.85, 200, 1e-9)
+    exp.foreach { case (v, e) => assert(approxEqual(got(v), e), s"pr($v): ${got(v)} vs $e") }
+  }
+
+  test("components: exact labels on twocomp and disconnected ER") {
+    val l1 = Components.run(spark, adjOf(twocomp)).labels
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(l1 === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+
+    val edges = erGraph(40, 0.04, seed = 5) // sparse → several components
+    val got = Components.run(spark, adjOf(edges)).labels
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val exp = InMemoryOracle.components(InMemoryOracle.adj(edges), InMemoryOracle.nodes(edges))
+    assert(got === exp)
+  }
+
+  test("label propagation matches in-memory oracle (4 synchronous rounds)") {
+    val edges = erGraph(50, 0.08, seed = 6)
+    val got = LabelProp.run(spark, adjOf(edges), rounds = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val exp = InMemoryOracle.lpa(InMemoryOracle.adj(edges), InMemoryOracle.nodes(edges), 4)
+    assert(got === exp)
+  }
+
+  test("triangles: k4 has 4 global, 3 per vertex; matches oracle on ER") {
+    import spark.implicits._
+    val canonK4 = Graph.canonicalize(k4.toDF("src", "dst"))
+    assert(Triangles.globalCount(spark, canonK4).head().getLong(0) === 4L)
+    val pv = Triangles.perVertex(spark, canonK4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    (0L to 3L).foreach(v => assert(pv(v) === 3L))
+
+    val edges = erGraph(60, 0.1, seed = 7)
+    val canon = Graph.canonicalize(edges.toDF("src", "dst"))
+    val exp = InMemoryOracle.triangles(InMemoryOracle.adj(edges), InMemoryOracle.nodes(edges))
+    assert(Triangles.globalCount(spark, canon).head().getLong(0) === exp)
+  }
+
+  test("chechik certified top-k equals exact top-k (tie-extended)") {
+    val edges = erGraph(80, 0.06, seed = 8)
+    val adj = adjOf(edges)
+    val k = 5
+    val (topk, tel) = Chechik.topkCloseness(spark, adj, k = k)
+    val got = topk.collect().map(_.getAs[Long]("id"))
+    // exact oracle: farness ascending with rank-tie extension
+    val a = InMemoryOracle.adj(edges)
+    val far = InMemoryOracle.nodes(edges)
+      .map(v => v -> InMemoryOracle.geometric(a, v).farness).sortBy(x => (x._2, x._1))
+    val kth = far(k - 1)._2
+    val expected = far.takeWhile(_._2 <= kth).map(_._1).toSet
+    assert(got.toSet === expected, s"got ${got.toSet} vs $expected")
+    assert(tel.totalBfs > 0 && tel.supersteps > 0)
+  }
+
+  test("pagerank resumes from DirMaterializer checkpoint with identical result") {
+    val edges = erGraph(50, 0.08, seed = 9)
+    val adj = adjOf(edges)
+    // baseline: uninterrupted run through the SAME parquet materializer
+    // (double-sum order depends on scan order, so the fair baseline also
+    // round-trips each iteration through parquet)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_ckpt_full").toString
+    val full = PageRank.run(spark, adj, maxIter = 8, tol = 0.0,
+        mat = new DirMaterializer(spark, dirFull)).ranks
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("pr")).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // phase 1: run only 3 iterations, checkpointing each to dir
+    PageRank.run(spark, adj, maxIter = 3, tol = 0.0, mat = new DirMaterializer(spark, dir))
+    // phase 2: a NEW run resumes at iteration 3 and finishes to 8
+    val resumed = PageRank.run(spark, adj, maxIter = 8, tol = 0.0, mat = new DirMaterializer(spark, dir))
+    assert(resumed.iterations === 8)
+    val got = resumed.ranks.collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("pr")).toMap
+    // byte-identical: same double bits, not just allclose
+    full.foreach { case (v, e) =>
+      assert(java.lang.Double.doubleToLongBits(got(v)) === java.lang.Double.doubleToLongBits(e),
+        s"resume not bit-identical at $v")
+    }
+  }
+
+  test("multi-source BFS distances match oracle on ER graph") {
+    val edges = erGraph(60, 0.07, seed = 10)
+    val adj = adjOf(edges)
+    val pivots = Seq(0L, 7L, 13L).toDF("pivot")
+    val got = MultiBfs.run(spark, adj, pivots)
+      .collect().map(r => (r.getAs[Long]("pivot"), r.getAs[Long]("id")) -> r.getAs[Int]("dist")).toMap
+    val a = InMemoryOracle.adj(edges)
+    Seq(0L, 7L, 13L).foreach { p =>
+      val exp = InMemoryOracle.bfs(a, p)
+      exp.foreach { case (v, d) => assert(got((p, v)) === d, s"dist($p,$v)") }
+      assert(got.keys.count(_._1 == p) === exp.size)
+    }
+  }
+}
