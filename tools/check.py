@@ -30,6 +30,8 @@ def main():
     fails = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
+        if name.endswith(".parquet"):
+            name = name[:-8]
         spark_df = pd.read_parquet(d)
         if name not in oracles:
             print(f"{name:28s} rows={len(spark_df):8d}  (no oracle: rows-only check)")
