@@ -43,6 +43,7 @@ object Chechik {
       k: Int,
       eps: Double = 0.1,
       seed: Int = 42,
+      batchSize: Int = 128,
       mat: Materializer = new LocalMaterializer(window = 0)): (DataFrame, Telemetry) = {
 
     var supersteps = 0L
@@ -92,7 +93,11 @@ object Chechik {
       .withColumn("pos", row_number().over(Window.orderBy(asc("apxF"), asc("id"))).cast("long") - 1)
       .localCheckpoint(true)
 
-    val batch = math.max(k, 32)
+    // Reference batches 10 BFS between re-sorts (TopCloseness.java:22); under
+    // level-synchronous execution a batch is ONE multi-source BFS, so larger
+    // batches amortize per-superstep job overhead — the certification
+    // guarantee is unchanged, at most one batch of extra exact BFS work.
+    val batch = math.max(k, batchSize)
     var processed: Option[DataFrame] = None
     var l = 0L
     var certified = 0L

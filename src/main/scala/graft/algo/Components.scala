@@ -37,22 +37,25 @@ object Components {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      val msgs = labels
+      // STATS DISCIPLINE (see PageRank): the superstep must reference the
+      // previous `labels` state additively, never multiplicatively —
+      // localCheckpoint inherits originStats and join stats multiply, so
+      // a labels⋈msgs(⊃labels) shape squares sizeInBytes every iteration.
+      // Self-messages via unionAll (stats ADD) give the same min() semantics.
+      val nbrMsgs = labels
         .join(adjacency, labels("id") === adjacency("src"))
         .select(explode(col("neighbors")).as("id"), col("label"))
+      val updated = nbrMsgs
+        .unionAll(labels.select(col("id"), col("label")))
         .groupBy("id")
-        .agg(min("label").as("nbrMin"))
-      val updated = labels
-        .join(msgs, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"),
-          coalesce(col("nbrMin") < col("label"), lit(false)).as("chg"))
-      // materialize label+chg together so the convergence count is a scan of
-      // the checkpointed state, not a recomputation of the join
+        .agg(min("label").as("label"))
       val state = mat.iterate(updated, iter, -1.0)
-      changed = state.where(col("chg")).count()
-      labels = state.select("id", "label")
+      // convergence: labels that changed — a scalar join of two checkpointed
+      // frames, its stats die with the job
+      changed = state.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev"))
+        .count()
+      labels = state
       onSuperstep(iter, changed)
     }
     Result(labels, iter)

@@ -37,13 +37,16 @@ object LabelProp {
         .select(explode(col("neighbors")).as("id"), col("label"))
       val counts = msgs.groupBy("id", "label").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("id").orderBy(desc("c"), asc("label"))
-      val winners = counts
+      // every vertex of the adjacency has ≥1 neighbor (vertex set = its
+      // sources, symmetrized), so winners covers ALL vertices and no
+      // keep-old-label fallback join is needed — which also keeps the
+      // superstep single-reference in `labels` (STATS DISCIPLINE: see
+      // PageRank — a second multiplicative reference squares inherited
+      // localCheckpoint stats every round)
+      val next = counts
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("id"), col("label").as("newLabel"))
-      val next = labels
-        .join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+        .select(col("id"), col("label"))
       labels = mat.iterate(next, iter, -1.0)
     }
     labels

@@ -50,7 +50,14 @@ object MultiBfs {
     var d = increments.last._1
     var frontier = increments.last._2.select("pivot", "id")
     var frontierSize = frontier.count()
-    def visited: DataFrame = increments.map(_._2).reduce(_ unionAll _)
+    // visited is consolidated into ONE checkpointed frame per superstep —
+    // a growing unionAll of increments would make superstep d's plan carry
+    // d branches (quadratic planning over a deep BFS). Consolidation is a
+    // localCheckpoint (ephemeral): on resume it is rebuilt from the
+    // mat-owned increments, which remain the durable unit.
+    var visited = increments.map(_._2).reduce(_ unionAll _)
+    if (increments.size > 1) visited = visited.localCheckpoint(true)
+    var ownedVisited: Option[DataFrame] = if (increments.size > 1) Some(visited) else None
 
     while (frontierSize > 0 && d < maxIter) {
       d += 1
@@ -68,7 +75,13 @@ object MultiBfs {
       val inc = mat.iterate(newly, d, frontierSize.toDouble)
       frontier = inc.select("pivot", "id")
       frontierSize = frontier.count()
-      if (frontierSize > 0) increments :+= ((d, inc))
+      if (frontierSize > 0) {
+        increments :+= ((d, inc))
+        val nv = visited.unionAll(inc).localCheckpoint(true)
+        ownedVisited.foreach(_.unpersist(false))
+        ownedVisited = Some(nv)
+        visited = nv
+      }
       onSuperstep(d, frontierSize)
     }
     visited

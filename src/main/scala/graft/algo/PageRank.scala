@@ -29,16 +29,21 @@ object PageRank {
       maxIter: Int = 100,
       tol: Double = 1e-6,
       mat: Materializer = new LocalMaterializer(window = 3),
+      vertices: Option[DataFrame] = None,
       onSuperstep: (Int, Double) => Unit = (_, _) => ()): Result = {
 
-    val verts = adjacency.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
+    val adjSrcs = adjacency.select(col("src").as("id")).distinct()
+    val verts = vertices.getOrElse(adjSrcs).localCheckpoint(true)
     val n = verts.count()
     val nInv = 1.0 / n
 
-    // dangling vertices (no out-edges) never occur after symmetrize, but the
-    // operator stays correct on directed inputs: their rank mass is
-    // redistributed uniformly each superstep.
+    // dangling vertices (no out-edges) never occur after symmetrize, and the
+    // set is fixed across supersteps either way: resolve it ONCE so the
+    // common symmetric case pays zero per-iteration jobs for it, while
+    // directed inputs (verts ⊋ adj sources) still redistribute the mass.
+    val danglingIds = verts.join(adjSrcs, Seq("id"), "left_anti").localCheckpoint(true)
+    val hasDangling = danglingIds.count() > 0
+
     val resumed = mat.resumeIncrements()
     var (iter, ranks) = resumed.lastOption.getOrElse {
       (0, mat.iterate(verts.select(col("id"), lit(nInv).as("pr")), 0, Double.MaxValue))
@@ -52,22 +57,31 @@ object PageRank {
         .select(explode(col("neighbors")).as("id"), (col("pr") / col("degree")).as("w"))
         .groupBy("id")
         .agg(sum("w").as("msg"))
-      val dangling = ranks
-        .join(adjacency.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-        .agg(coalesce(sum("pr"), lit(0.0)))
-        .head().getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else ranks.join(danglingIds, Seq("id"), "left_semi")
+          .agg(coalesce(sum("pr"), lit(0.0)))
+          .head().getDouble(0)
+      // STATS DISCIPLINE: localCheckpoint carries originStats into the new
+      // LogicalRDD and join sizeInBytes MULTIPLY — a superstep referencing
+      // the previous state twice squares the stats each iteration (BigInt
+      // blowup: Catalyst ends up multiplying million-digit numbers). Keep
+      // exactly ONE reference to `ranks` in the checkpointed plan; the L∞
+      // delta joins two already-checkpointed frames and yields a scalar, so
+      // its (large) join stats die with the job.
       val newRanks = verts
         .join(msgs, Seq("id"), "left")
         .select(
           col("id"),
           (lit((1 - damping) * nInv) +
             lit(damping) * (coalesce(col("msg"), lit(0.0)) + lit(dangling * nInv))).as("pr"))
+      val state = mat.iterate(newRanks, iter, -1.0)
       delta =
         if (tol <= 0) Double.MaxValue
-        else newRanks.join(ranks.withColumnRenamed("pr", "prevPr"), "id")
+        else state.join(ranks.select(col("id"), col("pr").as("prevPr")), "id")
           .agg(max(abs(col("pr") - col("prevPr"))))
           .head().getDouble(0)
-      ranks = mat.iterate(newRanks, iter, delta)
+      ranks = state
       onSuperstep(iter, delta)
     }
     Result(ranks, iter, delta)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.algo.{PageRank, Components, LabelProp, Triangles, Chechik, MultiBfs}
+import graft.algo.{PageRank, Components, LabelProp, Triangles, Chechik, MultiBfs, BitsetBfs, Geometric}
 import graft.core.{Graph, DirMaterializer}
 import org.apache.spark.sql.functions._
 
@@ -112,5 +112,38 @@ class AlgoSpec extends SparkTestBase {
       exp.foreach { case (v, d) => assert(got((p, v)) === d, s"dist($p,$v)") }
       assert(got.keys.count(_._1 == p) === exp.size)
     }
+  }
+
+  test("bitset BFS ≡ row BFS (multi-wave, multi-column, disconnected)") {
+    val edges = erGraph(80, 0.05, seed = 11) ++ Seq(200L -> 201L) // + far component
+    val adj = adjOf(edges)
+    // 40 pivots over maskCols=1 forces nothing; maskCols=1 with >64 pivots
+    // would force waves — use 40 pivots with 1 column AND all-vertex pivots
+    // with 2 columns to cover both packing regimes
+    val pivots40 = (0L until 40L).toDF("pivot")
+    val rows = MultiBfs.run(spark, adj, pivots40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bits = BitsetBfs.run(spark, adj, pivots40, maskCols = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bits === rows)
+
+    val allPivots = Graph.vertices(edgeDf(edges)).select(col("id").as("pivot"))
+    val rowsAll = MultiBfs.run(spark, adj, allPivots)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bitsAll = BitsetBfs.run(spark, adj, allPivots, maskCols = 2) // n≈82 → waves of 128
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bitsAll === rowsAll)
+  }
+
+  test("bitset BFS: harmonic scores identical to row-BFS scores") {
+    val edges = erGraph(70, 0.06, seed = 12)
+    val adj = adjOf(edges)
+    val pivots = (0L until 70L).toDF("pivot")
+    val viaRows = Geometric.scores(MultiBfs.run(spark, adj, pivots))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("harmonic")).toMap
+    val viaBits = Geometric.scores(BitsetBfs.run(spark, adj, pivots, maskCols = 1))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("harmonic")).toMap
+    assert(viaRows.keySet === viaBits.keySet)
+    viaRows.foreach { case (v, h) => assert(approxEqual(h, viaBits(v)), s"harmonic($v)") }
   }
 }
