@@ -279,6 +279,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // T6/A2-variant: normalized closeness (n-1)/farness (Sorter.java:87-89),
+    // merge-sorted descending — the reference's mergeAndSort output shape
+    "g13_closeness_norm" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val n = Graph.vertices(sym).count()
+      val adj = Graph.adjacency(sym).persist()
+      val sources = Graph.vertices(sym).orderBy("id").limit(16).select(col("id").as("pivot"))
+      Geometric.scores(MultiBfs.run(s, adj, sources))
+        .select(col("id"),
+          round(when(col("farness") > 0, lit(n - 1.0) / col("farness")).otherwise(0.0), 6)
+            .as("closeness_norm"))
+        .orderBy(desc("closeness_norm"), asc("id"))
+    }),
+
+    // A7: reverse farness — per-target sum of distances FROM the pivots
+    // (ChechikEstimator.java:162-164, TopCloseness.java:154)
+    "g14_reverse_farness" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      val sources = Graph.vertices(sym).orderBy("id").limit(16).select(col("id").as("pivot"))
+      MultiBfs.run(s, adj, sources)
+        .groupBy("id").agg(sum("dist").cast("long").as("rev_farness"))
+        .orderBy("id")
+    }),
+
+    // embedding-cosine near-dup pairs via sign-LSH buckets (the scale path:
+    // shuffle by bucket, never all-pairs). τ=0.35 because the synthetic
+    // embeddings carry no true duplicates (max same-bucket cosine ≈ 0.43)
+    // — the threshold is a config, the operator shape is what's under test
+    "d5_embedding_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(Tpch.table(s, dir, "embeddings"), minSim = 0.35, nBits = 8)
+        .orderBy("a", "b")
+    }),
+
     // brute-force cosine top-10 to vec 0 (ANN exactness baseline)
     "a1_knn_brute" -> ((s, dir) => {
       Ann.knnBrute(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10)
@@ -530,6 +564,41 @@ FROM files"""),
         |  FROM th, (SELECT unnest(generate_series(0, 15)) AS b) bb GROUP BY 1, 2)
         |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS sig
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "g13_closeness_norm" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |piv AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 16),
+         |nn AS (SELECT count(DISTINCT src) AS n FROM e),
+         |walk(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM piv
+         |  UNION
+         |  SELECT walk.pv, e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 64
+         |),
+         |dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id),
+         |far AS (SELECT pv AS id, sum(d) AS f FROM dist GROUP BY pv)
+         |SELECT id, round(CASE WHEN f > 0 THEN ((SELECT n FROM nn) - CAST(1.0 AS DOUBLE)) / f ELSE 0 END, 6) AS closeness_norm
+         |FROM far ORDER BY closeness_norm DESC, id""".stripMargin,
+
+    "g14_reverse_farness" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |piv AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 16),
+         |walk(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM piv
+         |  UNION
+         |  SELECT walk.pv, e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 64
+         |),
+         |dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id)
+         |SELECT id, CAST(sum(d) AS BIGINT) AS rev_farness FROM dist GROUP BY id ORDER BY id""".stripMargin,
+
+    "d5_embedding_neardup" -> {
+      val bucket = (0 until 8).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS sim
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, sim FROM p WHERE sim >= 0.35 ORDER BY a, b""".stripMargin
+    },
 
     "a1_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

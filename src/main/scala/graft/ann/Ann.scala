@@ -50,6 +50,22 @@ object Ann {
       when(emb.getItem(i) > 0f, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join (only
+    * same-bucket pairs are candidates — the 100 TB shape: shuffle by bucket,
+    * never all-pairs), then exact cosine ≥ minSim within the bucket.
+    * Returns (a, b, sim) with a < b.
+    */
+  def cosineNearDupPairs(embs: DataFrame, minSim: Double, nBits: Int = 8): DataFrame = {
+    val b = embs.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), nBits).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
     * exact cosine within. Output shape matches [[knnBrute]].
     */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.{FilesTable, EdgeDeriver}
+import graft.ingest.{FilesTable, EdgeDeriver, ArcList}
 import graft.core.Graph
 import org.apache.spark.sql.functions._
 
@@ -67,5 +67,24 @@ class IngestSpec extends SparkTestBase {
     val (_, sym) = EdgeDeriver.fileGraph(spark, dir)
     val rev = sym.select($"dst".as("src"), $"src".as("dst"))
     assert(sym.except(rev).count() === 0)
+  }
+
+  test("arc-list text sink/source round-trips; dirty lines dropped") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 3L)).toDF("src", "dst")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_arclist_${System.nanoTime()}"
+    ArcList.write(edges, path)
+    val back = ArcList.read(spark, path)
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 1L), (1L, 2L), (2L, 0L), (5L, 3L)))
+
+    // GraphSorter semantics: junk filtered, negative dst abs()'d, offset shift
+    val dirty = s"${System.getProperty("java.io.tmpdir")}/graft_dirty_${System.nanoTime()}"
+    new java.io.File(dirty).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dirty, "part-0.txt"),
+      "1 2\n3.5 4\nnot a line\n7 -8\n9\n2 3\n")
+    val cleaned = ArcList.read(spark, dirty, offset = 1L)
+    assert(cleaned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 1L), (6L, 7L), (1L, 2L)))
   }
 }

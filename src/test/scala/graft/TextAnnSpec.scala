@@ -81,6 +81,20 @@ class TextAnnSpec extends SparkTestBase {
     assert(!lsh.contains(4L)) // opposite signs → different bucket
   }
 
+  test("embedding-cosine near-dup pairs: bucket-local, threshold respected") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)),
+      (1L, Array(1.0f, 0.11f, 0.0f)),  // near-dup of 0, same bucket
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // same bucket as nothing close
+      (3L, Array(-1.0f, -0.1f, 0.0f))  // near-dup of 0 by |cos| but opposite bucket
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairs(embs, minSim = 0.99, nBits = 3).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs === Set((0L, 1L))) // 0-3 anti-parallel (sim -1) and cross-bucket
+    val all = Ann.cosineNearDupPairs(embs, minSim = -2.0, nBits = 3).collect()
+    assert(all.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+
   test("multimodal frames: bounded, deterministic, drop partial frames") {
     val media = MultiModal.withMedia(docs, "doc_id", "text")
     val f = MultiModal.frameFeatures(media, nFrames = 3, stride = 10, width = 5)
