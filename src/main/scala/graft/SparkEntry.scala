@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Graph
 import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles, Chechik}
 import graft.data.Tpch
-import graft.ingest.{FilesTable, EdgeDeriver}
+import graft.ingest.{FilesTable, EdgeDeriver, ArcList}
 import graft.text.{TextOps, Dedup}
 import graft.ann.Ann
 import graft.multimodal.MultiModal
@@ -323,6 +323,30 @@ object SparkEntry {
       Ann.knnLsh(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10, nBits = 8)
     }),
 
+    // S2/S6: arc-list text sink → source roundtrip (GraphReader.java:14-35,
+    // GraphBuilder.java:15-33) — the text form must be lossless, so the
+    // oracle is the identical symmetrized relation read straight from parquet
+    "g15_arclist_roundtrip" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_arclist_${System.nanoTime()}"
+      ArcList.write(Tpch.sparseEdges(s, dir), tmp)
+      Graph.symmetrize(ArcList.read(s, tmp)).orderBy("src", "dst")
+    }),
+
+    // A9/A10: Chechik estimator coefficients λ(w) = max(1/n, max_s d(s,w)/F(s))
+    // and keep-probability p(w) = min(1, K·λ), K = ⌈ln n/ε²⌉ — run from 16
+    // deterministic pivots so the exact math is oracle-checkable
+    // (ChechikEstimator.java:51-65,151-172)
+    "g16_chechik_estimator" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      val verts = Graph.vertices(sym).localCheckpoint(true)
+      val n = verts.count()
+      val pivots = verts.orderBy("id").limit(16).select(col("id").as("pivot"))
+      Chechik.estimatorCoefficients(s, adj, pivots, verts, n)
+        .select(col("id"), round(col("lambda"), 6).as("lambda"), round(col("p"), 6).as("p"))
+        .orderBy("id")
+    }),
+
     // multimodal: binary media frame-sampling + feature stub
     "m1_frames" -> ((s, dir) => {
       MultiModal.frameFeatures(
@@ -617,6 +641,31 @@ FROM files"""),
          |r AS (SELECT vec_id, sim, rank() OVER (ORDER BY sim DESC) AS rk FROM s)
          |SELECT vec_id, sim FROM r WHERE rk <= 10 ORDER BY sim DESC, vec_id""".stripMargin
     },
+
+    "g15_arclist_roundtrip" ->
+      s"""WITH e0 AS ($E0Sparse), e AS ($Sym)
+         |SELECT src, dst FROM e ORDER BY src, dst""".stripMargin,
+
+    "g16_chechik_estimator" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |verts AS (SELECT DISTINCT src AS id FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |piv AS (SELECT id FROM verts ORDER BY id LIMIT 16),
+         |walk(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM piv
+         |  UNION
+         |  SELECT walk.pv, e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 64
+         |),
+         |dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id),
+         |tot AS (SELECT pv, sum(d) AS total FROM dist GROUP BY pv),
+         |mr AS (SELECT dist.id, max(CAST(dist.d AS DOUBLE) / tot.total) AS maxr
+         |  FROM dist JOIN tot ON dist.pv = tot.pv WHERE tot.total > 0 GROUP BY dist.id),
+         |lam AS (SELECT v.id,
+         |  GREATEST(COALESCE(mr.maxr, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)) AS lambda
+         |  FROM verts v LEFT JOIN mr ON v.id = mr.id)
+         |SELECT id, round(lambda, 6) AS lambda,
+         |  round(LEAST(CAST(1.0 AS DOUBLE), ceil(ln((SELECT n FROM nn)) / 0.01) * lambda), 6) AS p
+         |FROM lam ORDER BY id""".stripMargin,
 
     "m1_frames" ->
       """WITH f AS (SELECT doc_id, hex(encode(text)) AS h, ff.frame AS frame

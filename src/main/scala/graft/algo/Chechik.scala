@@ -37,6 +37,38 @@ object Chechik {
   private def u01(seed: Int, id: org.apache.spark.sql.Column) =
     pmod(xxhash64(lit(seed), id), lit(1000000L)).cast("double") / 1000000.0
 
+  /** Sample coefficient K = ⌈ln n / ε²⌉ (ChechikEstimator.java:46). */
+  def kCoefficient(n: Long, eps: Double): Double =
+    math.ceil(math.log(n.toDouble) / (eps * eps))
+
+  /** Estimator coefficients from a pivot multi-source BFS
+    * (ChechikEstimator.java:51-65, SURVEY.md A9/A10): per vertex,
+    * λ(w) = max(1/n, max_s d(s,w)/F(s)) over pivots s with total farness
+    * F(s) > 0, and Bernoulli keep-probability p(w) = min(1, K·λ(w)).
+    * Returns (id, lambda, p) for EVERY vertex of `verts`.
+    */
+  def estimatorCoefficients(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      pivots: DataFrame,
+      verts: DataFrame,
+      n: Long,
+      eps: Double = 0.1,
+      onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    val pivotDist = MultiBfs.run(spark, adjacency, pivots, onSuperstep = onSuperstep)
+      .localCheckpoint(true)
+    val totals = pivotDist.groupBy("pivot").agg(sum("dist").as("total"))
+    val lambda = pivotDist
+      .join(totals.where(col("total") > 0), "pivot")
+      .select(col("id"), (col("dist").cast("double") / col("total")).as("r"))
+      .groupBy("id").agg(max("r").as("maxr"))
+    val kCoef = kCoefficient(n, eps)
+    verts
+      .join(lambda, Seq("id"), "left")
+      .select(col("id"), greatest(coalesce(col("maxr"), lit(0.0)), lit(1.0 / n)).as("lambda"))
+      .withColumn("p", least(lit(1.0), lit(kCoef) * col("lambda")))
+  }
+
   def topkCloseness(
       spark: SparkSession,
       adjacency: DataFrame,
@@ -59,21 +91,11 @@ object Chechik {
       .limit(nPivots.toInt)
       .select(col("id").as("pivot"))
 
-    // 2. λ coefficients from the pivot BFS
-    val pivotDist = MultiBfs.run(spark, adjacency, pivots, onSuperstep = countStep)
-      .localCheckpoint(true)
-    val totals = pivotDist.groupBy("pivot").agg(sum("dist").as("total"))
-    val lambda = pivotDist
-      .join(totals.where(col("total") > 0), "pivot")
-      .select(col("id"), (col("dist").cast("double") / col("total")).as("r"))
-      .groupBy("id").agg(max("r").as("maxr"))
-    val lambdas = verts
-      .join(lambda, Seq("id"), "left")
-      .select(col("id"), greatest(coalesce(col("maxr"), lit(0.0)), lit(1.0 / n)).as("lambda"))
+    // 2-3. λ coefficients + keep probabilities from the pivot BFS (A9/A10)
+    val probs = estimatorCoefficients(spark, adjacency, pivots, verts, n, eps, countStep)
+      .select(col("id"), col("p"))
 
-    // 3-4. keep probabilities + Bernoulli sample S (R2), HT farness estimate
-    val kCoef = math.ceil(math.log(n.toDouble) / (eps * eps))
-    val probs = lambdas.select(col("id"), least(lit(1.0), lit(kCoef) * col("lambda")).as("p"))
+    // 4. Bernoulli sample S (R2), HT farness estimate
     val sample = probs.where(u01(seed + 1, col("id")) < col("p")).localCheckpoint(true)
     val sampleSize = sample.count()
 

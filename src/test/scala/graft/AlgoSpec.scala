@@ -75,6 +75,24 @@ class AlgoSpec extends SparkTestBase {
     assert(tel.totalBfs > 0 && tel.supersteps > 0)
   }
 
+  test("chechik estimator coefficients: closed form on path P3") {
+    // P3 symmetrized: 0-1-2. F(0)=3, F(1)=2, F(2)=3 (pivot=all vertices).
+    // λ(0) = max(d(1,0)/2, d(2,0)/3) = max(0.5, 2/3) = 2/3; λ(1) = 1/3
+    // (floor 1/n = 1/3 equals max ratio 1/3); λ(2) = 2/3.
+    // K = ⌈ln 3/0.01⌉ = 110 ⇒ p = min(1, K·λ) = 1 everywhere.
+    val edges = Seq(0L -> 1L, 1L -> 2L)
+    val sym = Graph.symmetrize(edges.toDF("src", "dst"))
+    val adj = Graph.adjacency(sym)
+    val verts = Graph.vertices(sym)
+    val pivots = verts.select(col("id").as("pivot"))
+    val got = Chechik.estimatorCoefficients(spark, adj, pivots, verts, n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[Double]("lambda"), r.getAs[Double]("p"))).toMap
+    assert(approxEqual(got(0L)._1, 2.0 / 3))
+    assert(approxEqual(got(1L)._1, 1.0 / 3))
+    assert(approxEqual(got(2L)._1, 2.0 / 3))
+    got.values.foreach { case (_, p) => assert(approxEqual(p, 1.0)) }
+  }
+
   test("pagerank resumes from DirMaterializer checkpoint with identical result") {
     val edges = erGraph(50, 0.08, seed = 9)
     val adj = adjOf(edges)
