@@ -26,5 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Shuffle + checkpoint spill on this box's ext4 root (mounted `discard`)
+  // serializes in the block layer: every superstep creates+deletes thousands
+  // of shuffle files and the TRIM/journal traffic is single-lane — profiled
+  // as >90% system time with core count making NO difference. tmpfs makes
+  // shuffle I/O memory-speed; the box has 126 GiB of it.
+  "-Dspark.local.dir=/dev/shm/graft-spark-local",
+  // local[32] with GB-scale shuffles + per-iteration localCheckpoint state
+  // GC-thrashes in a small heap (32 threads' working set is ~4x of 8
+  // threads'); the box has 128 GiB. Same heap at BOTH scaling-leg core
+  // counts — only parallelism varies. Xms=Xmx + AlwaysPreTouch: profiling
+  // showed >90% SYSTEM time at local[32] — kernel page-fault/zeroing storms
+  // from the heap being committed/uncommitted under allocation churn; pinning
+  // and pre-faulting the heap keeps the hot path in user space.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -1,7 +1,7 @@
 package graft.algo
 
 import graft.core.{Materializer, LocalMaterializer}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,29 +17,41 @@ import org.apache.spark.sql.expressions.Window
   *
   * Semantically identical to the reference's per-source BFS
   * (GeometricCentralities.java:151-207): bit b of mask column j set on
-  * vertex v at superstep d  ⇔  d(pivot_{j·64+b}, v) = d. The final
-  * [[dist]] relation explodes masks back to (pivot, id, dist) rows —
-  * once, after the iteration, not per superstep.
+  * vertex v at superstep d  ⇔  d(pivot_{j·64+b}, v) = d.
+  *
+  * Two consumers:
+  *  - [[run]] explodes masks back to the (pivot, id, dist) relation — once,
+  *    after the iteration, not per superstep. O(P·n) output rows.
+  *  - [[harmonic]] never explodes: per-bit histogram aggregation
+  *    (Σ_rows ((m_j >> b) & 1)/dist, 64 sums per mask column) reduces each
+  *    increment to P scalars in the executors, so the per-pivot harmonic
+  *    costs O(n·maskCols) regardless of P — the 100 TB shape of "all
+  *    per-source running sums become aggregates" (SURVEY.md §2.4 A3).
   *
   * All kernels are built-in codegen'd expressions: bit_or aggregate,
-  * bitwise AND/XOR, `filter(sequence(0,63), ...)` for bit explode.
+  * bitwise AND/XOR/shift, `filter(sequence(0,63), ...)` for bit explode.
   */
 object BitsetBfs {
 
-  /** @param adjacency output of Graph.adjacency over SYMMETRIZED edges,
-    *                  persisted by the caller.
-    * @param pivots    one column `pivot: Long`.
-    * @param maskCols  Long mask columns per wave (64 pivots each).
-    * @return Dist(pivot, id, dist) — same relation as [[MultiBfs.run]].
+  /** Raw wave results: pivot→(wave,mcol,mbit) map, per-superstep mask
+    * increments (wave, dist, frame(id, m0..)), and per-wave final visited
+    * mask frames. All frames are materialized (cached) by `mat`.
     */
-  def run(
+  private case class Raw(
+      idx: DataFrame,
+      maskNames: Seq[String],
+      increments: Vector[(Int, Int, DataFrame)],
+      visited: Vector[(Int, DataFrame)])
+
+  private def waves(
       spark: SparkSession,
       adjacency: DataFrame,
       pivots: DataFrame,
-      maskCols: Int = 16,
-      maxIter: Int = 256,
-      mat: Materializer = new LocalMaterializer(window = 0),
-      onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      maskCols: Int,
+      maxIter: Int,
+      mat: Materializer,
+      onSuperstep: (Int, Long) => Unit,
+      onWaveVisited: (Int, DataFrame) => Unit): Raw = {
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
@@ -57,7 +69,8 @@ object BitsetBfs {
     def nonZero(cols: Seq[String]): Column =
       cols.map(c => col(c) =!= 0L).reduce(_ || _)
 
-    var waves = Vector.empty[DataFrame] // per-wave dist extraction results
+    var incs = Vector.empty[(Int, Int, DataFrame)]
+    var visitedOut = Vector.empty[(Int, DataFrame)]
     for (w <- 0 until nWaves) {
       // init: vertex = pivot, its own bit set, dist 0
       val init0 = idx.where(col("wave") === w).select(
@@ -69,7 +82,7 @@ object BitsetBfs {
       // a vertex can be several pivots only across waves, never within (idx distinct)
       var frontier = mat.iterate(init0.withColumn("dist", lit(0)), 0, -1.0)
       var visited = frontier.select((col("id") +: ms.map(col)): _*)
-      var increments = Vector(frontier)
+      incs :+= ((w, 0, frontier))
       var d = 0
       var frontierRows = frontier.count()
 
@@ -93,7 +106,7 @@ object BitsetBfs {
         frontier = inc
         frontierRows = frontier.count()
         if (frontierRows > 0) {
-          increments :+= inc
+          incs :+= ((w, d, inc))
           // visited ∪ newly: unionAll + bit_or groupBy, NOT an outer join —
           // union stats ADD while join stats MULTIPLY, and localCheckpoint
           // inherits originStats, so a visited⋈newly(⊃visited) merge would
@@ -109,11 +122,47 @@ object BitsetBfs {
         }
         onSuperstep(d, frontierRows)
       }
+      visitedOut :+= ((w, visited))
+      onWaveVisited(w, visited)
+    }
+    Raw(idx, ms, incs, visitedOut)
+  }
 
-      // explode masks → (pivot, id, dist), joined back through the idx map
-      val bitsOf = (m: String) =>
-        expr(s"filter(sequence(0, 63), b -> (shiftright($m, b) & 1) = 1)")
-      val exploded = increments.map { inc =>
+  /** @param adjacency output of Graph.adjacency over SYMMETRIZED edges,
+    *                  persisted by the caller.
+    * @param pivots    one column `pivot: Long`.
+    * @param maskCols  Long mask columns per wave (64 pivots each).
+    * @param onWaveVisited called once per completed wave with the final
+    *                  consolidated visited frame (id, m0..) — cached; lets
+    *                  callers derive whole-visit aggregates (e.g.
+    *                  Σ deg(v)·popcount(masks) = exact visited-arc count,
+    *                  the reference's visitedArcs counter,
+    *                  GeometricCentralities.java:179-181) without the explode.
+    * @return Dist(pivot, id, dist) — same relation as [[MultiBfs.run]].
+    */
+  def run(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      pivots: DataFrame,
+      maskCols: Int = 16,
+      maxIter: Int = 256,
+      mat: Materializer = new LocalMaterializer(window = 0),
+      onSuperstep: (Int, Long) => Unit = (_, _) => (),
+      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+
+    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
+    val ms = raw.maskNames
+
+    if (raw.increments.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL("pivot LONG, id LONG, dist INT"))
+
+    // explode masks → (pivot, id, dist), joined back through the idx map
+    val bitsOf = (m: String) =>
+      expr(s"filter(sequence(0, 63), b -> (shiftright($m, b) & 1) = 1)")
+    raw.increments.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, winc) =>
+      val exploded = winc.map { case (_, _, inc) =>
         ms.zipWithIndex.map { case (m, j) =>
           inc.where(col(m) =!= 0L)
             .select(col("id"), col("dist"),
@@ -121,15 +170,57 @@ object BitsetBfs {
             .withColumn("mcol", lit(j))
         }.reduce(_ unionAll _)
       }.reduce(_ unionAll _)
-      waves :+= exploded
-        .join(idx.where(col("wave") === w), Seq("mcol", "mbit"))
+      exploded
+        .join(raw.idx.where(col("wave") === w), Seq("mcol", "mbit"))
         .select(col("pivot"), col("id"), col("dist"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Per-pivot harmonic centrality Σ_v 1/d(pivot,v) WITHOUT materializing the
+    * (pivot, id, dist) relation: for each mask column, one aggregate of 64
+    * bit-histogram sums Σ_rows ((m_j >> b) & 1)/dist over the increments.
+    * Executors reduce everything to P doubles; the driver assembles the
+    * result from those scalars plus the (small) pivot index map.
+    *
+    * Identical output to `Geometric.scores(run(...)).select(id, harmonic)`
+    * (spec-checked) at O(n·maskCols) aggregate cost instead of O(P·n) rows.
+    */
+  def harmonic(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      pivots: DataFrame,
+      maskCols: Int = 16,
+      maxIter: Int = 256,
+      mat: Materializer = new LocalMaterializer(window = 0),
+      onSuperstep: (Int, Long) => Unit = (_, _) => (),
+      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+
+    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
+    val ms = raw.maskNames
+
+    // h(wave, mcol, mbit) accumulated from one 64-sum aggregate per (wave, col)
+    val h = scala.collection.mutable.Map.empty[(Int, Int, Int), Double].withDefaultValue(0.0)
+    raw.increments.groupBy(_._1).foreach { case (w, winc) =>
+      val body = winc.collect { case (_, d, inc) if d > 0 => inc }
+        .reduceOption(_ unionAll _)
+      body.foreach { frames =>
+        ms.zipWithIndex.foreach { case (m, j) =>
+          val sums = (0 until 64).map(b =>
+            sum(expr(s"shiftright($m, $b) & 1").cast("double") / col("dist")).as(s"b$b"))
+          val row = frames.agg(sums.head, sums.tail: _*).head()
+          (0 until 64).foreach { b =>
+            if (!row.isNullAt(b)) h((w, j, b)) += row.getDouble(b)
+          }
+        }
+      }
     }
 
-    if (waves.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("pivot LONG, id LONG, dist INT"))
-    else waves.reduce(_ unionAll _)
+    val out = raw.idx
+      .select("pivot", "wave", "mcol", "mbit")
+      .collect()
+      .map(r => Row(r.getLong(0), h((r.getInt(1), r.getInt(2), r.getInt(3)))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType.fromDDL("id LONG, harmonic DOUBLE"))
   }
 }

@@ -163,5 +163,25 @@ class AlgoSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("harmonic")).toMap
     assert(viaRows.keySet === viaBits.keySet)
     viaRows.foreach { case (v, h) => assert(approxEqual(h, viaBits(v)), s"harmonic($v)") }
+
+    // histogram variant (no explode): same values, multi-wave covered
+    val viaHist = BitsetBfs.harmonic(spark, adj, pivots, maskCols = 1) // 70 pivots → 2 waves
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("harmonic")).toMap
+    assert(viaHist.keySet === viaRows.keySet)
+    viaRows.foreach { case (v, h) => assert(approxEqual(h, viaHist(v)), s"hist harmonic($v)") }
+
+    // visited-mask popcount edge accounting == Σ deg over the dist relation
+    val degs = Graph.degrees(Graph.symmetrize(edgeDf(edges)))
+    var maskEdges = 0L
+    BitsetBfs.run(spark, adj, pivots, maskCols = 1,
+      onWaveVisited = (_, vis) => {
+        val bits = vis.columns.filter(_ != "id")
+          .map(c => expr(s"bit_count($c)").cast("long")).reduce(_ + _)
+        maskEdges += vis.join(degs, vis("id") === degs("id"))
+          .agg(coalesce(sum(col("degree") * bits), lit(0L))).head().getLong(0)
+      }).count()
+    val rowEdges = MultiBfs.run(spark, adj, pivots)
+      .join(degs, Seq("id")).agg(sum("degree")).head().getLong(0)
+    assert(maskEdges === rowEdges)
   }
 }
