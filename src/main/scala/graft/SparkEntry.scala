@@ -347,6 +347,42 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // T1+T3+T6: progressive-sampling merge-sort (the TopCloseness variant,
+    // Sorter.java:55-70) — degree-sorted first batch of 16 exact BFS, every
+    // other vertex scored by the kDone-pivot reverse-farness estimate; exact
+    // and estimated segments merged, sorted desc
+    "g17_merge_sort" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val verts = Graph.vertices(sym).localCheckpoint(true)
+      val n = verts.count()
+      val adj = Graph.adjacency(sym).persist()
+      val kDone = 16L
+      val pivots = Graph.degrees(sym)
+        .orderBy(desc("degree"), asc("id")).limit(kDone.toInt)
+        .select(col("id").as("pivot"))
+      val dist = MultiBfs.run(s, adj, pivots).localCheckpoint(true)
+      val exactF = dist.groupBy(col("pivot").as("id")).agg(sum("dist").cast("long").as("farness"))
+      val revF = Geometric.reverseFarness(dist)
+      Geometric.mergeAndSort(exactF, revF, verts, n, kDone)
+        .select(col("id"), col("exact").cast("long").as("exact"),
+          round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("id"))
+    }),
+
+    // S8/A13: the reference's flagship experiment curve — per k, total BFS
+    // and approximation-phase BFS of the certified Chechik top-k run
+    // ({k: [totalBFS, apxBFS]}, Main.java:64-71,110-117). Sampling is not
+    // SQL-replicable → no oracle entry (driver rows-only check).
+    "g18_bfs_curve" -> ((s, dir) => {
+      import s.implicits._
+      val sym = sparseSym(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      Seq(1, 10, 20).map { k =>
+        val (_, tel) = Chechik.topkCloseness(s, adj, k = k)
+        (k.toLong, tel.totalBfs, tel.totalBfs - tel.exactBfs, tel.supersteps)
+      }.toDF("k", "total_bfs", "apx_bfs", "supersteps").orderBy("k")
+    }),
+
     // multimodal: binary media frame-sampling + feature stub
     "m1_frames" -> ((s, dir) => {
       MultiModal.frameFeatures(
@@ -666,6 +702,30 @@ FROM files"""),
          |SELECT id, round(lambda, 6) AS lambda,
          |  round(LEAST(CAST(1.0 AS DOUBLE), ceil(ln((SELECT n FROM nn)) / 0.01) * lambda), 6) AS p
          |FROM lam ORDER BY id""".stripMargin,
+
+    "g17_merge_sort" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |verts AS (SELECT DISTINCT src AS id FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+         |piv AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 16),
+         |walk(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM piv
+         |  UNION
+         |  SELECT walk.pv, e.dst, walk.d + 1 FROM walk JOIN e ON walk.id = e.src WHERE walk.d < 64
+         |),
+         |dist AS (SELECT pv, id, min(d) AS d FROM walk GROUP BY pv, id),
+         |ef AS (SELECT pv AS id, sum(d) AS f FROM dist GROUP BY pv),
+         |rf AS (SELECT id, sum(d) AS r FROM dist GROUP BY id),
+         |sc AS (SELECT v.id,
+         |  CASE WHEN ef.id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+         |  CASE WHEN ef.id IS NOT NULL AND ef.f > 0 THEN ((SELECT n FROM nn) - 1.0) / ef.f
+         |       WHEN ef.id IS NULL AND COALESCE(rf.r, 0) > 0
+         |         THEN 16.0 * ((SELECT n FROM nn) - 1.0) / (SELECT n FROM nn) / rf.r
+         |       ELSE 0.0 END AS score
+         |  FROM verts v LEFT JOIN ef ON v.id = ef.id LEFT JOIN rf ON v.id = rf.id)
+         |SELECT id, CAST(ex AS BIGINT) AS exact, round(CAST(score AS DOUBLE), 6) AS score
+         |FROM sc ORDER BY score DESC, id""".stripMargin,
 
     "m1_frames" ->
       """WITH f AS (SELECT doc_id, hex(encode(text)) AS h, ff.frame AS frame

@@ -47,4 +47,32 @@ object Geometric {
     */
   def reverseFarness(dist: DataFrame): DataFrame =
     dist.groupBy(col("id")).agg(sum(col("dist")).cast("long").as("revFarness"))
+
+  /** T6 mergeAndSort (Sorter.java:55-70,80-89): per-vertex normalized
+    * closeness — EXACT (n−1)/farness where a full BFS completed, else the
+    * progressive estimate kDone·(n−1)/(n·revFarness) from the kDone BFS done
+    * so far — merged and sorted descending, ties ascending id; zero/absent
+    * farness ⇒ score 0 (Sorter.java:45-48). The two segments are T3's
+    * two-segment farnessSort made explicit via the `exact` flag.
+    *
+    * @param exactFarness (id, farness) for completed-BFS vertices
+    * @param revFarness   (id, revFarness) accumulated from the kDone pivots
+    */
+  def mergeAndSort(
+      exactFarness: DataFrame,
+      revFarness: DataFrame,
+      verts: DataFrame,
+      n: Long,
+      kDone: Long): DataFrame =
+    verts
+      .join(exactFarness.withColumnRenamed("farness", "ef"), Seq("id"), "left")
+      .join(revFarness.withColumnRenamed("revFarness", "rf"), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("ef").isNotNull.as("exact"),
+        when(col("ef").isNotNull && col("ef") > 0, lit(n - 1.0) / col("ef"))
+          .when(col("ef").isNull && coalesce(col("rf"), lit(0L)) > 0,
+            lit(kDone * (n - 1.0) / n.toDouble) / col("rf"))
+          .otherwise(0.0).as("score"))
+      .orderBy(desc("score"), asc("id"))
 }
