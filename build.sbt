@@ -9,8 +9,18 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Unscoped on purpose: `runMain` does NOT delegate to task-scoped
+// `run / fork`, and the driver may invoke either entrypoint.
+fork := true
 Test / fork := true
-run / fork := true
+// CRITICAL driver contract: Bench prints ONE bare JSON line on stdout. The
+// default LoggedOutput strategy re-emits the forked process's stdout as
+// "[info] {...}" which the driver's JSON scan cannot parse (round-1
+// BENCH_r01.json: parsed=null). StdoutOutput passes it through verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -31,7 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // of shuffle files and the TRIM/journal traffic is single-lane — profiled
   // as >90% system time with core count making NO difference. tmpfs makes
   // shuffle I/O memory-speed; the box has 126 GiB of it.
-  "-Dspark.local.dir=/dev/shm/graft-spark-local",
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local")}",
   // local[32] with GB-scale shuffles + per-iteration localCheckpoint state
   // GC-thrashes in a small heap (32 threads' working set is ~4x of 8
   // threads'); the box has 128 GiB. Same heap at BOTH scaling-leg core

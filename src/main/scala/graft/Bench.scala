@@ -34,8 +34,10 @@ import graft.ann.Ann
   * 2→8 cores measures ~0.9+ on both axes, so the legs run at N=2, 4N=8 —
   * the largest 4x span whose ceiling is not the host itself. The
   * burn-measured CPU ceiling at the chosen counts ships in the JSON as
-  * `hw_ceiling`. Each leg runs the job SPARK_GRAFT_SCALE_REPS times (default
-  * 2) keeping the best — hypervisor steal bursts perturb single runs by 2x.
+  * `hw_ceiling` (median of warmed, interleaved reps; clamped to ≤1 with the
+  * raw value reported alongside). Each leg runs the job
+  * SPARK_GRAFT_SCALE_REPS times (default 3) keeping the best — hypervisor
+  * steal bursts perturb single runs by 2x.
   *
   * "Edges processed" is exact message counts, not estimates:
   *  - BFS: every visited (pivot, v) pair enters the frontier exactly once and
@@ -203,10 +205,18 @@ object Bench {
     val hiCores = 8
     val mainCores = 32
 
-    // hypervisor-delivered CPU ceiling at the two scaling core counts
-    val hwLo = burn(loCores)
-    val hwHi = burn(hiCores)
-    val hwCeiling = hwHi / ((hiCores.toDouble / loCores) * hwLo)
+    // hypervisor-delivered CPU ceiling at the two scaling core counts.
+    // Round-1 lesson: a single cold-JVM burn(lo) pays JIT while burn(hi)
+    // reuses compiled code → hw_ceiling 2.35 (impossible). Warm up untimed,
+    // then ALTERNATE lo/hi reps and take medians so steal bursts and JIT
+    // hit both thread counts alike; clamp >1 to 1 and flag it.
+    burn(loCores, iters = 30000000L); burn(hiCores, iters = 30000000L)
+    val burnReps = (1 to 3).map(_ => (burn(loCores), burn(hiCores)))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val hwLo = median(burnReps.map(_._1))
+    val hwHi = median(burnReps.map(_._2))
+    val hwCeilingRaw = hwHi / ((hiCores.toDouble / loCores) * hwLo)
+    val hwCeiling = math.min(1.0, hwCeilingRaw)
 
     // scaling legs: same job, same input, only parallelism varies. Sessions
     // ALTERNATE lo/hi so hypervisor-throttle windows hit both legs alike;
@@ -251,10 +261,17 @@ object Bench {
     val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).filter(_ > 0).sum
 
-    println(
-      s"""{"metric":"harmonic+pagerank(1e-6) headline + breadth, sec at local[$hiCores]","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
+    val jsonLine =
+      s"""{"metric":"harmonic+pagerank(1e-6) headline + breadth, sec at local[$mainCores]","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
       s""","graph":{"vertices":$nVerts,"arcs":$arcs}""" +
       s""","headline":{"supersteps":$headSteps,"edges_processed":$headEdges,"edges_per_sec":${f"${headEdges / headSec}%.0f"},"supersteps_per_sec":${f"${headSteps / headSec}%.3f"}}""" +
-      s""","scaling":{"job":"harmonic_bitset_${scalePivots}pivots_synth${scaleN}","cores_lo":$loCores,"cores_hi":$hiCores,"edges_per_sec_lo":${f"${lo.edgesPerSec}%.0f"},"edges_per_sec_hi":${f"${hiScale.edgesPerSec}%.0f"},"sec_lo":${f"${lo.sec}%.3f"},"sec_hi":${f"${hiScale.sec}%.3f"},"factor":$factor,"efficiency":${f"$efficiency%.3f"},"hw_ceiling":${f"$hwCeiling%.3f"},"best_of":$scaleReps,"reps_lo_eps":[${loRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}],"reps_hi_eps":[${hiRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}]}}""")
+      s""","scaling":{"job":"harmonic_bitset_${scalePivots}pivots_synth${scaleN}","cores_lo":$loCores,"cores_hi":$hiCores,"edges_per_sec_lo":${f"${lo.edgesPerSec}%.0f"},"edges_per_sec_hi":${f"${hiScale.edgesPerSec}%.0f"},"sec_lo":${f"${lo.sec}%.3f"},"sec_hi":${f"${hiScale.sec}%.3f"},"factor":$factor,"efficiency":${f"$efficiency%.3f"},"hw_ceiling":${f"$hwCeiling%.3f"},"hw_ceiling_raw":${f"$hwCeilingRaw%.3f"},"best_of":$scaleReps,"reps_lo_eps":[${loRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}],"reps_hi_eps":[${hiRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}]}}"""
+    // Belt and braces for the driver contract: the bare line on stdout is
+    // the contract; the file is a recovery path if stdout is ever mangled.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/target/bench.json")), jsonLine)
+    catch { case _: Throwable => () }
+    System.out.println(jsonLine)
+    System.out.flush()
   }
 }

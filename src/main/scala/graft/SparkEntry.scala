@@ -4,9 +4,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Graph
-import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles, Chechik}
+import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles, Chechik, Progressive}
 import graft.data.Tpch
-import graft.ingest.{FilesTable, EdgeDeriver, ArcList}
+import graft.ingest.{FilesTable, EdgeDeriver, ArcList, ResultsMerge}
 import graft.text.{TextOps, Dedup}
 import graft.ann.Ann
 import graft.multimodal.MultiModal
@@ -65,12 +65,13 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // T1+T5: degree top-k with tie extension (Sorter.java:18-26, GTLoader.java:45-52)
+    // T1+T5: degree top-k with tie extension (Sorter.java:18-26,
+    // GTLoader.java:45-52) — distributed TakeOrderedAndProject + tie filter,
+    // no unpartitioned rank() window
     "g3_degree_topk" -> ((s, dir) => {
       val deg = Graph.degrees(Graph.symmetrize(Tpch.bipartiteEdges(s, dir)))
-      deg
-        .withColumn("rk", rank().over(Window.orderBy(desc("degree"))))
-        .where(col("rk") <= 20)
+      graft.core.Rank.topkWithTies(deg, Seq(desc("degree")), 20)(
+        _.getAs[Long]("degree"))(b => col("degree") >= b.asInstanceOf[Long])
         .select("id", "degree")
         .orderBy(desc("degree"), asc("id"))
     }),
@@ -256,10 +257,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard near-dup pairs (3-gram shingles, tau = 0.8)
+    // n-gram Jaccard near-dup pairs (3-gram shingles, tau = 0.8). Hot-shingle
+    // cap ON (df > 100 dropped, mirrored in the oracle): the shingle
+    // self-join is quadratic in shingle document-frequency, so an uncapped
+    // run is the 100 TB killer — a shingle in millions of docs carries no
+    // near-dup signal but dominates the join.
     "d2_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(Tpch.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.8)
+          n = 3, minJaccard = 0.8, hotShingleCap = 100)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
@@ -304,12 +309,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
-    // embedding-cosine near-dup pairs via sign-LSH buckets (the scale path:
-    // shuffle by bucket, never all-pairs). τ=0.35 because the synthetic
-    // embeddings carry no true duplicates (max same-bucket cosine ≈ 0.43)
-    // — the threshold is a config, the operator shape is what's under test
+    // embedding-cosine near-dup pairs via multi-band sign-LSH buckets (the
+    // scale path: shuffle by (band, bucket), never all-pairs; bands × nBits
+    // are configs — bucket cardinality bands·2^nBits grows with the corpus,
+    // round-1 verdict on the fixed-256-bucket X5). 4 bands × 8 bits at this
+    // sf keeps candidate sets non-empty; τ=0.35 because the synthetic
+    // embeddings carry no true duplicates — the operator shape is what's
+    // under test
     "d5_embedding_neardup" -> ((s, dir) => {
-      Ann.cosineNearDupPairs(Tpch.table(s, dir, "embeddings"), minSim = 0.35, nBits = 8)
+      Ann.cosineNearDupPairs(Tpch.table(s, dir, "embeddings"), minSim = 0.35,
+          nBits = 8, bands = 4)
         .orderBy("a", "b")
     }),
 
@@ -318,9 +327,10 @@ object SparkEntry {
       Ann.knnBrute(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     }),
 
-    // sign-LSH bucketed ANN (the scale path)
+    // multi-band sign-LSH bucketed ANN (the scale path; 4 bands × 8 bits)
     "a2_knn_lsh" -> ((s, dir) => {
-      Ann.knnLsh(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10, nBits = 8)
+      Ann.knnLsh(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10,
+        nBits = 8, bands = 4)
     }),
 
     // S2/S6: arc-list text sink → source roundtrip (GraphReader.java:14-35,
@@ -366,21 +376,82 @@ object SparkEntry {
       Geometric.mergeAndSort(exactF, revF, verts, n, kDone)
         .select(col("id"), col("exact").cast("long").as("exact"),
           round(col("score"), 6).as("score"))
-        .orderBy(desc("score"), asc("id"))
+        .orderBy(desc("score"), desc("id"))
     }),
 
-    // S8/A13: the reference's flagship experiment curve — per k, total BFS
-    // and approximation-phase BFS of the certified Chechik top-k run
-    // ({k: [totalBFS, apxBFS]}, Main.java:64-71,110-117). Sampling is not
-    // SQL-replicable → no oracle entry (driver rows-only check).
+    // S8/A13: the reference's flagship experiment curve — the Main.java
+    // shape: per k, ROUNDS-AVERAGED total BFS and approximation-phase BFS of
+    // the certified Chechik top-k run (rounds = 2, averaged as doubles,
+    // Main.java:60-72,110-117; k grid 1,20,40,... — truncated to ≤ n/10 here
+    // where the reference's 2000 cap assumes web-scale graphs). Sampling is
+    // not SQL-replicable → no oracle entry (driver rows-only check).
     "g18_bfs_curve" -> ((s, dir) => {
       import s.implicits._
       val sym = sparseSym(s, dir)
       val adj = Graph.adjacency(sym).persist()
-      Seq(1, 10, 20).map { k =>
-        val (_, tel) = Chechik.topkCloseness(s, adj, k = k)
-        (k.toLong, tel.totalBfs, tel.totalBfs - tel.exactBfs, tel.supersteps)
+      val rounds = 2
+      Seq(1, 20, 40, 100).map { k =>
+        val runs = (0 until rounds).map { r =>
+          val (_, tel) = Chechik.topkCloseness(s, adj, k = k, seed = 42 + r)
+          (tel.totalBfs, tel.totalBfs - tel.exactBfs, tel.supersteps)
+        }
+        (k.toLong,
+          runs.map(_._1).sum.toDouble / rounds,
+          runs.map(_._2).sum.toDouble / rounds,
+          runs.map(_._3).sum.toDouble / rounds)
       }.toDF("k", "total_bfs", "apx_bfs", "supersteps").orderBy("k")
+    }),
+
+    // R3: the progressive-sampling driver loop (TopCloseness.java:76-107 +
+    // Sorter.java:36-53) — 2 batches of 8 exact BFS, schedule re-sorted
+    // between batches by accumulated reverse farness; fully deterministic,
+    // so the oracle replays both batches in SQL
+    "g19_progressive" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      Progressive.run(s, adj, batchSize = 8, numBatches = 2)
+        .orderBy("pos")
+    }),
+
+    // P6: transpose — one projection (Main.java:28 help text); exposed so a
+    // reference user's `-t` path has an engine counterpart
+    "g20_transpose" -> ((s, dir) => {
+      Graph.transpose(Tpch.sparseEdges(s, dir)).orderBy("src", "dst")
+    }),
+
+    // S8+S9: per-batch result snapshots (TopCloseness.printResult,
+    // TopCloseness.java:189-201) merged compact.py-style by run number
+    "g21_results_merge" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val adj = Graph.adjacency(sym).persist()
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_runs_${System.nanoTime()}"
+      Progressive.run(s, adj, batchSize = 8, numBatches = 2, snapshotDir = Some(tmp))
+        .count() // drive the loop (snapshots are its side effect)
+      ResultsMerge.merge(s, tmp)
+    }),
+
+    // J3: precision |estimateTopK ∩ exactTopK| / k as an engine query
+    // (Main.java:85-96, there between Chechik and ground truth; here between
+    // the 16-BFS merge-sort estimate and the certified-exact Chechik top-10
+    // — both deterministic, so the oracle replays both sides)
+    "g22_precision" -> ((s, dir) => {
+      val sym = sparseSym(s, dir)
+      val verts = Graph.vertices(sym).localCheckpoint(true)
+      val n = verts.count()
+      val adj = Graph.adjacency(sym).persist()
+      val pivots = Graph.degrees(sym)
+        .orderBy(desc("degree"), asc("id")).limit(16)
+        .select(col("id").as("pivot"))
+      val dist = MultiBfs.run(s, adj, pivots).localCheckpoint(true)
+      val exactF = dist.groupBy(col("pivot").as("id")).agg(sum("dist").cast("long").as("farness"))
+      val est10 = Geometric.mergeAndSort(exactF, Geometric.reverseFarness(dist), verts, n, 16L)
+        .orderBy(desc("score"), desc("id")).limit(10).select("id")
+      val exact10 = Chechik.topkCloseness(s, adj, k = 10)._1
+        .orderBy("farness", "id").limit(10).select("id")
+      est10.intersect(exact10)
+        .agg(count(lit(1)).as("inter"))
+        .select(lit(10L).as("k"), col("inter"),
+          round(col("inter") / lit(10.0), 6).as("precision"))
     }),
 
     // multimodal: binary media frame-sampling + feature stub
@@ -414,6 +485,19 @@ object SparkEntry {
       |jac AS (SELECT inter.a, inter.b,
       |  CAST(inter.i AS DOUBLE) / (ca.c + cb.c - inter.i) AS jaccard
       |  FROM inter JOIN sizes ca ON ca.id = inter.a JOIN sizes cb ON cb.id = inter.b)""".stripMargin
+
+  /** DuckDB fragment: nBits-bit sign bucket of embedding band `band`
+    * (mirrors [[Ann.bandBucket]]).
+    */
+  private def bandBucketSql(band: Int, nBits: Int = 8): String =
+    (0 until nBits).map(i =>
+      s"(CASE WHEN embedding[${band * nBits + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  /** DuckDB fragment: (vec_id, band, bucket) over `bands` sign-LSH bands. */
+  private def BandsSql(bands: Int = 4, nBits: Int = 8): String =
+    (0 until bands).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, ${bandBucketSql(b, nBits)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL ")
 
   /** DuckDB fragment: double cosine similarity between list columns. */
   private def cosSql(a: String, b: String): String =
@@ -592,9 +676,13 @@ FROM files"""),
         |GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin,
 
+    // cap mirrored from the Spark side: shingles in > 100 docs are excluded
+    // from candidates AND sizes (the capped-space Jaccard on both sides)
     "d2_jaccard_pairs" ->
       s"""WITH $ShinglesSql,
-         |shx AS (SELECT doc_id AS id, u.s FROM shdocs, UNNEST(shdocs.sh) u(s)),
+         |shx0 AS (SELECT doc_id AS id, u.s FROM shdocs, UNNEST(shdocs.sh) u(s)),
+         |hot AS (SELECT s FROM shx0 GROUP BY s HAVING count(*) > 100),
+         |shx AS (SELECT id, s FROM shx0 WHERE s NOT IN (SELECT s FROM hot)),
          |cand AS (SELECT x.id AS a, y.id AS b FROM shx x JOIN shx y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2),
          |$JaccardTailSql
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
@@ -651,12 +739,12 @@ FROM files"""),
          |SELECT id, CAST(sum(d) AS BIGINT) AS rev_farness FROM dist GROUP BY id ORDER BY id""".stripMargin,
 
     "d5_embedding_neardup" -> {
-      val bucket = (0 until 8).map(i =>
-        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-         |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS sim
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      s"""WITH bk AS (
+         |  ${BandsSql()}),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |p AS (SELECT cand.a, cand.b, round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS sim
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.a JOIN embeddings eb ON eb.vec_id = cand.b)
          |SELECT a, b, sim FROM p WHERE sim >= 0.35 ORDER BY a, b""".stripMargin
     },
 
@@ -668,12 +756,14 @@ FROM files"""),
          |SELECT vec_id, sim FROM r WHERE rk <= 10 ORDER BY sim DESC, vec_id""".stripMargin,
 
     "a2_knn_lsh" -> {
-      val bucket = (0 until 8).map(i =>
-        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-         |q AS (SELECT embedding AS qe, bucket FROM b WHERE vec_id = 0),
-         |s AS (SELECT b.vec_id, round(${cosSql("b.embedding", "q.qe")}, 6) AS sim
-         |  FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> 0),
+      s"""WITH bk AS (
+         |  ${BandsSql()}),
+         |qb AS (SELECT band, bucket FROM bk WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb ON bk.band = qb.band AND bk.bucket = qb.bucket
+         |  WHERE bk.vec_id <> 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS sim
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q),
          |r AS (SELECT vec_id, sim, rank() OVER (ORDER BY sim DESC) AS rk FROM s)
          |SELECT vec_id, sim FROM r WHERE rk <= 10 ORDER BY sim DESC, vec_id""".stripMargin
     },
@@ -725,7 +815,124 @@ FROM files"""),
          |       ELSE 0.0 END AS score
          |  FROM verts v LEFT JOIN ef ON v.id = ef.id LEFT JOIN rf ON v.id = rf.id)
          |SELECT id, CAST(ex AS BIGINT) AS exact, round(CAST(score AS DOUBLE), 6) AS score
-         |FROM sc ORDER BY score DESC, id""".stripMargin,
+         |FROM sc ORDER BY score DESC, id DESC""".stripMargin,
+
+    // replays the deterministic 2-batch progressive loop: batch1 = degree
+    // sort top-8; batch2 = top-8 unprocessed by (accumulated reverse farness
+    // asc, id asc); final pos = two-segment farnessSort
+    "g19_progressive" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |verts AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+         |b1 AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 8),
+         |walk1(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM b1
+         |  UNION
+         |  SELECT walk1.pv, e.dst, walk1.d + 1 FROM walk1 JOIN e ON walk1.id = e.src WHERE walk1.d < 64
+         |),
+         |dist1 AS (SELECT pv, id, min(d) AS d FROM walk1 GROUP BY pv, id),
+         |af1 AS (SELECT id, sum(d) AS r FROM dist1 GROUP BY id),
+         |b2 AS (SELECT v.id FROM verts v LEFT JOIN af1 ON v.id = af1.id
+         |  WHERE v.id NOT IN (SELECT id FROM b1)
+         |  ORDER BY COALESCE(af1.r, 0) ASC, v.id ASC LIMIT 8),
+         |walk2(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM b2
+         |  UNION
+         |  SELECT walk2.pv, e.dst, walk2.d + 1 FROM walk2 JOIN e ON walk2.id = e.src WHERE walk2.d < 64
+         |),
+         |dist2 AS (SELECT pv, id, min(d) AS d FROM walk2 GROUP BY pv, id),
+         |alld AS (SELECT pv, id, d FROM dist1 UNION ALL SELECT pv, id, d FROM dist2),
+         |farn AS (SELECT pv AS id, sum(d) AS f FROM alld GROUP BY pv),
+         |procs AS (SELECT id FROM b1 UNION ALL SELECT id FROM b2),
+         |apx AS (SELECT id, sum(d) AS r FROM alld GROUP BY id),
+         |sc AS (SELECT v.id,
+         |  CASE WHEN v.id IN (SELECT id FROM procs) THEN 1 ELSE 0 END AS processed,
+         |  CASE WHEN v.id IN (SELECT id FROM procs) THEN COALESCE(f.f, 0) ELSE 0 END AS farness,
+         |  COALESCE(a.r, 0) AS apx_farness
+         |  FROM verts v LEFT JOIN farn f ON v.id = f.id LEFT JOIN apx a ON v.id = a.id)
+         |SELECT id, CAST(processed AS BIGINT) AS processed, CAST(farness AS BIGINT) AS farness,
+         |  CAST(apx_farness AS BIGINT) AS apx_farness,
+         |  CAST(row_number() OVER (ORDER BY processed DESC,
+         |    CASE WHEN processed = 1 THEN farness ELSE apx_farness END ASC, id ASC) - 1 AS BIGINT) AS pos
+         |FROM sc ORDER BY pos""".stripMargin,
+
+    "g20_transpose" ->
+      s"""WITH e0 AS ($E0Sparse)
+         |SELECT dst AS src, src AS dst FROM e0 ORDER BY 1, 2""".stripMargin,
+
+    // the two progressive snapshots (after batch 1 and after batch 2),
+    // compact.py-merged: run = processed count, pos = farnessSort position
+    "g21_results_merge" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |verts AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+         |b1 AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 8),
+         |walk1(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM b1
+         |  UNION
+         |  SELECT walk1.pv, e.dst, walk1.d + 1 FROM walk1 JOIN e ON walk1.id = e.src WHERE walk1.d < 64
+         |),
+         |dist1 AS (SELECT pv, id, min(d) AS d FROM walk1 GROUP BY pv, id),
+         |af1 AS (SELECT id, sum(d) AS r FROM dist1 GROUP BY id),
+         |f1 AS (SELECT pv AS id, sum(d) AS f FROM dist1 GROUP BY pv),
+         |snap1 AS (SELECT 8 AS run,
+         |  row_number() OVER (ORDER BY
+         |    CASE WHEN v.id IN (SELECT id FROM b1) THEN 0 ELSE 1 END,
+         |    CASE WHEN v.id IN (SELECT id FROM b1) THEN COALESCE(f1.f, 0) ELSE COALESCE(af1.r, 0) END,
+         |    v.id) - 1 AS pos, v.id AS id
+         |  FROM verts v LEFT JOIN f1 ON v.id = f1.id LEFT JOIN af1 ON v.id = af1.id),
+         |b2 AS (SELECT v.id FROM verts v LEFT JOIN af1 ON v.id = af1.id
+         |  WHERE v.id NOT IN (SELECT id FROM b1)
+         |  ORDER BY COALESCE(af1.r, 0) ASC, v.id ASC LIMIT 8),
+         |walk2(pv, id, d) AS (
+         |  SELECT id, id, 0 FROM b2
+         |  UNION
+         |  SELECT walk2.pv, e.dst, walk2.d + 1 FROM walk2 JOIN e ON walk2.id = e.src WHERE walk2.d < 64
+         |),
+         |dist2 AS (SELECT pv, id, min(d) AS d FROM walk2 GROUP BY pv, id),
+         |alld AS (SELECT pv, id, d FROM dist1 UNION ALL SELECT pv, id, d FROM dist2),
+         |farn AS (SELECT pv AS id, sum(d) AS f FROM alld GROUP BY pv),
+         |procs AS (SELECT id FROM b1 UNION ALL SELECT id FROM b2),
+         |apx AS (SELECT id, sum(d) AS r FROM alld GROUP BY id),
+         |sc AS (SELECT v.id,
+         |  CASE WHEN v.id IN (SELECT id FROM procs) THEN 1 ELSE 0 END AS processed,
+         |  CASE WHEN v.id IN (SELECT id FROM procs) THEN COALESCE(f.f, 0) ELSE 0 END AS farness,
+         |  COALESCE(a.r, 0) AS apx_farness
+         |  FROM verts v LEFT JOIN farn f ON v.id = f.id LEFT JOIN apx a ON v.id = a.id),
+         |snap2 AS (SELECT 16 AS run,
+         |  row_number() OVER (ORDER BY processed DESC,
+         |    CASE WHEN processed = 1 THEN farness ELSE apx_farness END ASC, id ASC) - 1 AS pos, id
+         |  FROM sc)
+         |SELECT CAST(run AS BIGINT) AS run, CAST(pos AS BIGINT) AS pos, id
+         |FROM (SELECT * FROM snap1 UNION ALL SELECT * FROM snap2) ORDER BY run, pos""".stripMargin,
+
+    "g22_precision" ->
+      s"""WITH RECURSIVE e0 AS ($E0Sparse), e AS ($Sym),
+         |verts AS (SELECT DISTINCT src AS id FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+         |walkx(pv, id, d) AS (
+         |  SELECT src, src, 0 FROM e
+         |  UNION
+         |  SELECT walkx.pv, e.dst, walkx.d + 1 FROM walkx JOIN e ON walkx.id = e.src WHERE walkx.d < 32
+         |),
+         |distx AS (SELECT pv, id, min(d) AS d FROM walkx GROUP BY pv, id),
+         |farx AS (SELECT pv AS id, sum(d) AS farness FROM distx GROUP BY pv),
+         |exact10 AS (SELECT id FROM farx ORDER BY farness, id LIMIT 10),
+         |piv AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 16),
+         |distp AS (SELECT * FROM distx WHERE pv IN (SELECT id FROM piv)),
+         |ef AS (SELECT pv AS id, sum(d) AS f FROM distp GROUP BY pv),
+         |rf AS (SELECT id, sum(d) AS r FROM distp GROUP BY id),
+         |sc AS (SELECT v.id,
+         |  CASE WHEN ef.id IS NOT NULL AND ef.f > 0 THEN ((SELECT n FROM nn) - 1.0) / ef.f
+         |       WHEN ef.id IS NULL AND COALESCE(rf.r, 0) > 0
+         |         THEN 16.0 * ((SELECT n FROM nn) - 1.0) / (SELECT n FROM nn) / rf.r
+         |       ELSE 0.0 END AS score
+         |  FROM verts v LEFT JOIN ef ON v.id = ef.id LEFT JOIN rf ON v.id = rf.id),
+         |est10 AS (SELECT id FROM sc ORDER BY score DESC, id DESC LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS inter,
+         |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS precision
+         |FROM est10 JOIN exact10 USING (id)""".stripMargin,
 
     "m1_frames" ->
       """WITH f AS (SELECT doc_id, hex(encode(text)) AS h, ff.frame AS frame

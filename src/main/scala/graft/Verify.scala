@@ -34,7 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver looks oracles up by ARTIFACT name (`<query>.parquet`),
+    // while tools/check.py strips the suffix — emit every entry under BOTH
+    // keys so either lookup hits. (Round 1 shipped bare names only and the
+    // driver recorded no_oracle for all 35 queries.)
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -106,13 +106,14 @@ object Chechik {
       .groupBy("id")
       .agg(sum(col("dist").cast("double") / col("p")).as("apxF"))
 
-    // 5. certification loop. Schedule position via a global row_number — the
-    // schedule is per-vertex metadata (n rows, tiny next to the edge table);
-    // at extreme n switch to range-partitioned rank.
-    val schedule = verts
-      .join(apxFarness, Seq("id"), "left")
-      .select(col("id"), coalesce(col("apxF"), lit(Double.MaxValue)).as("apxF"))
-      .withColumn("pos", row_number().over(Window.orderBy(asc("apxF"), asc("id"))).cast("long") - 1)
+    // 5. certification loop. Schedule position via distributed range minting
+    // (Rank.globalRank) — the schedule is n rows and a global row_number
+    // window would sort all n through ONE task at scale.
+    val schedule = graft.core.Rank.globalRank(
+      verts
+        .join(apxFarness, Seq("id"), "left")
+        .select(col("id"), coalesce(col("apxF"), lit(Double.MaxValue)).as("apxF")),
+      "pos", asc("apxF"), asc("id"))
       .localCheckpoint(true)
 
     // Reference batches 10 BFS between re-sorts (TopCloseness.java:22); under
@@ -147,11 +148,13 @@ object Chechik {
 
     // top-k among certified, ties on the k-th farness extended (T5,
     // GTLoader.java:45-52); farness is an integer ⇒ ranking is float-free
-    // farness 0 = isolated vertex = closeness 0: ranks LAST, not first
-    val topk = processed.get
+    // farness 0 = isolated vertex = closeness 0: ranks LAST, not first.
+    // Distributed top-k (TakeOrderedAndProject boundary + tie filter), not
+    // an unpartitioned rank() window — `processed` can grow to n rows.
+    val ranked = processed.get
       .withColumn("frank", when(col("farness") > 0, col("farness")).otherwise(Long.MaxValue))
-      .withColumn("rk", rank().over(Window.orderBy(asc("frank"))))
-      .where(col("rk") <= k)
+    val topk = graft.core.Rank.topkWithTies(ranked, Seq(asc("frank")), k)(
+        _.getAs[Long]("frank"))(b => col("frank") <= b.asInstanceOf[Long])
       .select(
         col("id"), col("farness"),
         when(col("farness") > 0, lit(1.0) / col("farness")).otherwise(0.0).as("closeness"))

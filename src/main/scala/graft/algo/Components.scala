@@ -49,7 +49,9 @@ object Components {
         .unionAll(labels.select(col("id"), col("label")))
         .groupBy("id")
         .agg(min("label").as("label"))
-      val state = mat.iterate(updated, iter, -1.0)
+      // deferred checkpoint: the changed-count below materializes it —
+      // one job per superstep instead of checkpoint + count
+      val state = mat.iterateDeferred(updated, iter, -1.0)
       // convergence: labels that changed — a scalar join of two checkpointed
       // frames, its stats die with the job
       changed = state.join(labels.withColumnRenamed("label", "prev"), "id")

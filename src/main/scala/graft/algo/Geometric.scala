@@ -51,7 +51,8 @@ object Geometric {
   /** T6 mergeAndSort (Sorter.java:55-70,80-89): per-vertex normalized
     * closeness — EXACT (n−1)/farness where a full BFS completed, else the
     * progressive estimate kDone·(n−1)/(n·revFarness) from the kDone BFS done
-    * so far — merged and sorted descending, ties ascending id; zero/absent
+    * so far — merged and sorted descending, ties DESCENDING id (the
+    * reference comparator is t2.compareTo(t1), Sorter.java:62); zero/absent
     * farness ⇒ score 0 (Sorter.java:45-48). The two segments are T3's
     * two-segment farnessSort made explicit via the `exact` flag.
     *
@@ -74,5 +75,5 @@ object Geometric {
           .when(col("ef").isNull && coalesce(col("rf"), lit(0L)) > 0,
             lit(kDone * (n - 1.0) / n.toDouble) / col("rf"))
           .otherwise(0.0).as("score"))
-      .orderBy(desc("score"), asc("id"))
+      .orderBy(desc("score"), desc("id"))
 }

@@ -72,9 +72,11 @@ object MultiBfs {
       val newly = candidates
         .join(visited.select("pivot", "id"), Seq("pivot", "id"), "left_anti")
         .select(col("pivot"), col("id"), lit(d).as("dist"))
-      val inc = mat.iterate(newly, d, frontierSize.toDouble)
+      // materialize + count fused (one Spark job per superstep, not two —
+      // the count was half the per-superstep fixed cost)
+      val (inc, cnt) = mat.iterateCounted(newly, d, frontierSize.toDouble)
       frontier = inc.select("pivot", "id")
-      frontierSize = frontier.count()
+      frontierSize = cnt
       if (frontierSize > 0) {
         increments :+= ((d, inc))
         val nv = visited.unionAll(inc).localCheckpoint(true)

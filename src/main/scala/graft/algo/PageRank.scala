@@ -75,7 +75,9 @@ object PageRank {
           col("id"),
           (lit((1 - damping) * nInv) +
             lit(damping) * (coalesce(col("msg"), lit(0.0)) + lit(dangling * nInv))).as("pr"))
-      val state = mat.iterate(newRanks, iter, -1.0)
+      // deferred checkpoint: the delta aggregate below is the materializing
+      // action — one job per superstep instead of checkpoint + delta
+      val state = mat.iterateDeferred(newRanks, iter, -1.0)
       delta =
         if (tol <= 0) Double.MaxValue
         else state.join(ranks.select(col("id"), col("pr").as("prevPr")), "id")

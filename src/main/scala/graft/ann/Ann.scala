@@ -1,8 +1,8 @@
 package graft.ann
 
+import graft.core.Rank
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -25,6 +25,17 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Distributed tie-extended top-k over a (vec_id, sim) relation:
+    * TakeOrderedAndProject boundary + scan filter — replaces the
+    * unpartitioned rank() window that shuffled the whole corpus into one
+    * task (round-1 verdict "What's wrong" #6).
+    */
+  private def topkSims(sims: DataFrame, k: Int): DataFrame =
+    Rank.topkWithTies(sims, Seq(desc("sim")), k)(
+      _.getAs[Double]("sim"))(b => col("sim") >= b.asInstanceOf[Double])
+      .select("vec_id", "sim")
+      .orderBy(desc("sim"), asc("vec_id"))
+
   /** Top-k by cosine to the embedding of `queryId` (query row excluded),
     * ties on the rounded similarity extended (rank ≤ k), deterministic.
     */
@@ -34,52 +45,67 @@ object Ann {
     val sims = embs.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
-    sims
-      .withColumn("rk", rank().over(Window.orderBy(desc("sim"))))
-      .where(col("rk") <= k)
-      .select("vec_id", "sim")
-      .orderBy(desc("sim"), asc("vec_id"))
+    topkSims(sims, k)
   }
 
-  /** Random-hyperplane-style bucket from the signs of the first nBits
-    * dimensions (deterministic stand-in for seeded gaussian hyperplanes —
-    * same bucketing math, no RNG parity issues).
+  /** Random-hyperplane-style bucket for band `band`: the signs of
+    * dimensions [band·nBits, (band+1)·nBits) (deterministic stand-in for
+    * seeded gaussian hyperplanes — same bucketing math, no RNG parity
+    * issues).
     */
-  def signBucket(emb: Column, nBits: Int): Column =
+  def bandBucket(emb: Column, band: Int, nBits: Int): Column =
     (0 until nBits).map { i =>
-      when(emb.getItem(i) > 0f, lit(1L << i)).otherwise(0L)
+      when(emb.getItem(band * nBits + i) > 0f, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join (only
-    * same-bucket pairs are candidates — the 100 TB shape: shuffle by bucket,
-    * never all-pairs), then exact cosine ≥ minSim within the bucket.
+  /** Single-band convenience (band 0). */
+  def signBucket(emb: Column, nBits: Int): Column = bandBucket(emb, 0, nBits)
+
+  /** (vec_id, band, bucket) — one row per (vector, band). */
+  private def bandBuckets(embs: DataFrame, nBits: Int, bands: Int): DataFrame =
+    embs.select(col("vec_id"), explode(array((0 until bands).map { bd =>
+        struct(lit(bd).as("band"), bandBucket(col("embedding"), bd, nBits).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+
+  /** Embedding-cosine near-duplicate pairs: multi-band sign-LSH bucket
+    * self-join — candidates share a bucket in ANY band (distinct'd, so a
+    * pair colliding in several bands is verified once), then exact cosine
+    * ≥ minSim. The 100 TB shape: shuffle by (band, bucket), never
+    * all-pairs; bucket cardinality scales as bands·2^nBits, so raise
+    * nBits/bands with the corpus instead of letting within-bucket
+    * self-joins go quadratic (round-1 verdict on X5's fixed 256 buckets).
     * Returns (a, b, sim) with a < b.
     */
-  def cosineNearDupPairs(embs: DataFrame, minSim: Double, nBits: Int = 8): DataFrame = {
-    val b = embs.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), nBits).as("bucket"))
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
+  def cosineNearDupPairs(embs: DataFrame, minSim: Double, nBits: Int = 8,
+      bands: Int = 1): DataFrame = {
+    val bk = bandBuckets(embs, nBits, bands)
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(embs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(embs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
       .where(col("sim") >= minSim)
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
-    * exact cosine within. Output shape matches [[knnBrute]].
+  /** LSH-bucketed ANN: candidates share any band bucket with the query,
+    * then exact cosine within. Output shape matches [[knnBrute]].
     */
-  def knnLsh(embs: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
-    val bucketed = embs.withColumn("bucket", signBucket(col("embedding"), nBits))
-    val q = bucketed.where(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"), col("bucket"))
-    val sims = bucketed.where(col("vec_id") =!= queryId)
-      .join(broadcast(q), "bucket")
+  def knnLsh(embs: DataFrame, queryId: Long, k: Int, nBits: Int = 8,
+      bands: Int = 1): DataFrame = {
+    val bk = bandBuckets(embs, nBits, bands)
+    val qb = bk.where(col("vec_id") === queryId).drop("vec_id")
+    val candIds = bk.where(col("vec_id") =!= queryId)
+      .join(broadcast(qb), Seq("band", "bucket"))
+      .select("vec_id").distinct()
+    val q = embs.where(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val sims = embs.join(candIds, "vec_id")
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("sim"))
-    sims
-      .withColumn("rk", rank().over(Window.orderBy(desc("sim"))))
-      .where(col("rk") <= k)
-      .select("vec_id", "sim")
-      .orderBy(desc("sim"), asc("vec_id"))
+    topkSims(sims, k)
   }
 }

@@ -35,6 +35,26 @@ trait Materializer {
     */
   def iterate(df: DataFrame, iter: Int, metric: Double): DataFrame
 
+  /** Materialize AND count in as few Spark jobs as the strategy allows —
+    * iterative loops need the increment's row count to drive the loop, and
+    * running it as a separate job doubles the per-superstep fixed cost
+    * (job scheduling + task launch), which is exactly what caps scaling
+    * efficiency when per-superstep compute is small. Default: two jobs.
+    */
+  def iterateCounted(df: DataFrame, iter: Int, metric: Double): (DataFrame, Long) = {
+    val out = iterate(df, iter, metric)
+    (out, out.count())
+  }
+
+  /** Materialize lazily where the strategy allows: the returned frame's
+    * FIRST action completes materialization, so a loop whose convergence
+    * check immediately aggregates the new state (PageRank L∞ delta, CC
+    * changed-count) pays ONE job per superstep, not checkpoint + check.
+    * Default: eager (Dir strategy must write parquet regardless).
+    */
+  def iterateDeferred(df: DataFrame, iter: Int, metric: Double): DataFrame =
+    iterate(df, iter, metric)
+
   /** Previously completed increments (iter → frame), ascending, for resume. */
   def resumeIncrements(): Seq[(Int, DataFrame)] = Seq.empty
 
@@ -43,14 +63,27 @@ trait Materializer {
 
 final class LocalMaterializer(window: Int = 0) extends Materializer {
   private val live = mutable.Queue.empty[DataFrame]
-  override def iterate(df: DataFrame, iter: Int, metric: Double): DataFrame = {
-    val out = df.localCheckpoint(true)
+  private def track(out: DataFrame): DataFrame = {
     if (window > 0) {
       live.enqueue(out)
       while (live.size > window) live.dequeue().unpersist(false)
     }
     out
   }
+  override def iterate(df: DataFrame, iter: Int, metric: Double): DataFrame =
+    track(df.localCheckpoint(true))
+
+  /** ONE job per superstep: a LAZY localCheckpoint whose materializing
+    * action is the count itself.
+    */
+  override def iterateCounted(df: DataFrame, iter: Int, metric: Double): (DataFrame, Long) = {
+    val out = df.localCheckpoint(false)
+    val n = out.count()
+    (track(out), n)
+  }
+
+  override def iterateDeferred(df: DataFrame, iter: Int, metric: Double): DataFrame =
+    track(df.localCheckpoint(false))
 }
 
 final class DirMaterializer(spark: SparkSession, dir: String) extends Materializer {

@@ -26,6 +26,14 @@ object Graph {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** P6 — transpose: negative/in- centralities on a digraph are positive/
+    * out- centralities on the transpose (Main.java:28 help text,
+    * GeometricCentralities.java:116). One projection; symmetrized graphs
+    * are transpose-invariant.
+    */
+  def transpose(edges: DataFrame): DataFrame =
+    edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst"))
+
   /** Canonical directed edge form u < v (used by triangle counting). */
   def canonicalize(edges: DataFrame): DataFrame =
     edges
@@ -75,16 +83,12 @@ object Graph {
     * GraphBuilder.java:17-33 uses first-seen order; distributed first-seen is
     * nondeterministic, so we order by the external ID itself — deterministic
     * and relabel-invariant for every centrality per SURVEY.md §5.2).
-    * NOTE: a global row_number window is a single-partition sort — fine for
-    * the dimension-table-sized distinct-ID set, which is orders of magnitude
-    * smaller than the edge table; at extreme vertex counts switch to
-    * zipWithIndex-style range minting.
+    * Distributed two-pass range minting via [[Rank.globalRank]] — no
+    * single-partition sort at any vertex count (10^12 paths shuffle by
+    * range, never through one task).
     */
-  def mintVertexIds(extIds: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    extIds
-      .select(col("extId").cast("string"))
-      .distinct()
-      .withColumn("id", row_number().over(Window.orderBy("extId")).cast("long") - 1)
-  }
+  def mintVertexIds(extIds: DataFrame): DataFrame =
+    Rank.globalRank(
+      extIds.select(col("extId").cast("string")).distinct(),
+      "id", col("extId"))
 }
