@@ -49,7 +49,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // showed >90% SYSTEM time at local[32] — kernel page-fault/zeroing storms
   // from the heap being committed/uncommitted under allocation churn; pinning
   // and pre-faulting the heap keeps the hot path in user space.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", graftDefaultHeap)}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", graftDefaultHeap)}",
   "-XX:+AlwaysPreTouch",
 )
+// Default heap: min(32g, half of physical RAM) so the pinned/pre-touched
+// heap never fails JVM startup on a smaller host; SPARK_DRIVER_MEM overrides.
+lazy val graftDefaultHeap: String = {
+  val memKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") => l.split("\\s+")(1).toLong }
+      .getOrElse(64L * 1024 * 1024)
+    catch { case _: Throwable => 64L * 1024 * 1024 }
+  s"${math.max(2L, math.min(32L, memKb / (2 * 1024 * 1024)))}g"
+}
