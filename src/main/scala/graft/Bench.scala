@@ -101,7 +101,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE OFF for the bench: its per-shuffle-stage driver-side re-planning
+      // is SERIAL and identical at every core count — measured ~2x on the
+      // big supersteps at 8 cores (5.9-7.6 s/superstep without vs 9-17 s
+      // with). Superstep partition counts here are small and fixed, so AQE
+      // has nothing to coalesce; on a real cluster this is a per-job tuning
+      // choice, and iterative frontier jobs are exactly the case to turn it
+      // off.
+      .config("spark.sql.adaptive.enabled", "false")
       // frontier⋈adjacency every superstep: SMJ would re-SORT the cached
       // adjacency (array payloads!) each iteration; shuffled-hash builds on
       // the frontier side instead and leaves the cached partitioning alone

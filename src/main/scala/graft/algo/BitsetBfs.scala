@@ -83,7 +83,14 @@ object BitsetBfs {
               .otherwise(0L).as(m)
           }: _*)
       // a vertex can be several pivots only across waves, never within (idx distinct)
-      val (frontier0, rows0) = mat.iterateCounted(init0.withColumn("dist", lit(0)), 0, -1.0)
+      // NOTE: increments carry NO dist column — the superstep d lives in the
+      // `incs` tuples. A `lit(d)` in the loop plan would change the generated
+      // code every superstep (literals are inlined by codegen) and force a
+      // janino recompile per superstep: measured seconds of SERIAL driver
+      // time that caps N→4N scaling. The loop plan is now superstep-
+      // invariant, so codegen caches hit from superstep 2 on; consumers
+      // attach dist from the tuple when assembling their one output plan.
+      val (frontier0, rows0) = mat.iterateCounted(init0, 0, -1.0)
       var frontier = frontier0
       var visited = frontier.select((col("id") +: ms.map(col)): _*)
       incs :+= ((w, 0, frontier))
@@ -107,8 +114,7 @@ object BitsetBfs {
           }: _*)
           .where(nonZero(ms))
         // materialize + count fused — one job per superstep for the frontier
-        val (inc, cnt) = mat.iterateCounted(
-          newly.withColumn("dist", lit(d)), d, frontierRows.toDouble)
+        val (inc, cnt) = mat.iterateCounted(newly, d, frontierRows.toDouble)
         frontier = inc
         frontierRows = cnt
         if (frontierRows > 0) {
@@ -168,10 +174,10 @@ object BitsetBfs {
     val bitsOf = (m: String) =>
       expr(s"filter(sequence(0, 63), b -> (shiftright($m, b) & 1) = 1)")
     raw.increments.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, winc) =>
-      val exploded = winc.map { case (_, _, inc) =>
+      val exploded = winc.map { case (_, d, inc) =>
         ms.zipWithIndex.map { case (m, j) =>
           inc.where(col(m) =!= 0L)
-            .select(col("id"), col("dist"),
+            .select(col("id"), lit(d).as("dist"),
               explode(bitsOf(m)).as("mbit"))
             .withColumn("mcol", lit(j))
         }.reduce(_ unionAll _)
@@ -209,7 +215,8 @@ object BitsetBfs {
     // the wave's increment union maskCols times (verdict "What's wrong" #8)
     val h = scala.collection.mutable.Map.empty[(Int, Int, Int), Double].withDefaultValue(0.0)
     raw.increments.groupBy(_._1).foreach { case (w, winc) =>
-      val body = winc.collect { case (_, d, inc) if d > 0 => inc }
+      val body = winc.collect { case (_, d, inc) if d > 0 =>
+          inc.withColumn("dist", lit(d)) }
         .reduceOption(_ unionAll _)
       body.foreach { frames =>
         val sums = for { (m, j) <- ms.zipWithIndex; b <- 0 until 64 }

@@ -38,12 +38,19 @@ object MultiBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
 
+    // Increments carry NO dist column — the superstep d lives in the vector
+    // (and in the checkpoint dir name for resume). A `lit(d)` inside the
+    // loop plan would change the generated code every superstep (codegen
+    // inlines literals) and force a janino recompile per superstep — serial
+    // driver seconds that cap N→4N scaling. The loop plan is superstep-
+    // invariant; dist is attached once when assembling the output relation.
     var increments = mat.resumeIncrements().toVector
+      .map { case (i, f) => (i, f.select("pivot", "id")) }
     if (increments.isEmpty) {
       val init = sources
         .select(col("pivot").cast("long").as("pivot"))
         .distinct()
-        .select(col("pivot"), col("pivot").as("id"), lit(0).as("dist"))
+        .select(col("pivot"), col("pivot").as("id"))
       increments = Vector((0, mat.iterate(init, 0, -1.0)))
     }
 
@@ -71,11 +78,11 @@ object MultiBfs {
         .distinct()
       val newly = candidates
         .join(visited.select("pivot", "id"), Seq("pivot", "id"), "left_anti")
-        .select(col("pivot"), col("id"), lit(d).as("dist"))
+        .select(col("pivot"), col("id"))
       // materialize + count fused (one Spark job per superstep, not two —
       // the count was half the per-superstep fixed cost)
       val (inc, cnt) = mat.iterateCounted(newly, d, frontierSize.toDouble)
-      frontier = inc.select("pivot", "id")
+      frontier = inc
       frontierSize = cnt
       if (frontierSize > 0) {
         increments :+= ((d, inc))
@@ -86,7 +93,13 @@ object MultiBfs {
       }
       onSuperstep(d, frontierSize)
     }
-    visited
+    // the consolidated anti-join frame is loop-internal state now — release
+    // it; the output below reads only the mat-owned increments
+    ownedVisited.foreach(_.unpersist(false))
+    // output relation: dist attached per increment, ONE plan built here
+    increments
+      .map { case (i, f) => f.select(col("pivot"), col("id"), lit(i).as("dist")) }
+      .reduce(_ unionAll _)
   }
 
   /** Single-source convenience. */
