@@ -3,7 +3,6 @@ package graft.algo
 import graft.core.{Materializer, LocalMaterializer}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Bitset multi-source BFS — the scale path for many-pivot visits.
   *
@@ -19,23 +18,40 @@ import org.apache.spark.sql.expressions.Window
   * (GeometricCentralities.java:151-207): bit b of mask column j set on
   * vertex v at superstep d  ⇔  d(pivot_{j·64+b}, v) = d.
   *
+  * Superstep = ONE fused job (the round-2 shape paid two jobs and an extra
+  * n-row shuffle per superstep — serial fixed cost that capped N→4N scaling
+  * efficiency). State frame per superstep: (id, n0.., v0..) where n_j are
+  * the newly-set bits of this superstep and v_j the cumulative visited
+  * masks. The update unions tagged message rows (tag 0, candidate masks)
+  * with tagged state rows (tag 1, visited masks) and aggregates both sides
+  * in one groupBy:
+  *
+  *   a_j = bit_or(mask where tag=0)   — candidates
+  *   b_j = bit_or(mask where tag=1)   — visited
+  *   n_j = a_j & ~b_j,  v_j = a_j | b_j
+  *
+  * One shuffle of (n + Σ deg(frontier)) rows per superstep, k+1 mask-width
+  * columns. All kernels are built-in codegen'd expressions: bit_or
+  * aggregate, bitwise AND/XOR/shift, `filter(sequence(0,63), ...)` for bit
+  * explode.
+  *
   * Two consumers:
   *  - [[run]] explodes masks back to the (pivot, id, dist) relation — once,
   *    after the iteration, not per superstep. O(P·n) output rows.
   *  - [[harmonic]] never explodes: per-bit histogram aggregation
   *    (Σ_rows ((m_j >> b) & 1)/dist, 64 sums per mask column) reduces each
-  *    increment to P scalars in the executors, so the per-pivot harmonic
-  *    costs O(n·maskCols) regardless of P — the 100 TB shape of "all
-  *    per-source running sums become aggregates" (SURVEY.md §2.4 A3).
-  *
-  * All kernels are built-in codegen'd expressions: bit_or aggregate,
-  * bitwise AND/XOR/shift, `filter(sequence(0,63), ...)` for bit explode.
+  *    increment to P scalars — ONE distributed aggregate over all waves,
+  *    unpivoted with `stack` and joined back to the pivot index, so neither
+  *    the masks nor the per-pivot sums ever pass through the driver and the
+  *    per-pivot harmonic costs O(n·maskCols) regardless of P — the 100 TB
+  *    shape of "all per-source running sums become aggregates"
+  *    (SURVEY.md §2.4 A3).
   */
 object BitsetBfs {
 
-  /** Raw wave results: pivot→(wave,mcol,mbit) map, per-superstep mask
-    * increments (wave, dist, frame(id, m0..)), and per-wave final visited
-    * mask frames. All frames are materialized (cached) by `mat`.
+  /** Raw wave results: pivot→(wave,mcol,mbit) map, per-superstep newly-bit
+    * mask frames (wave, dist, frame(id, m0..)) — filtered projections of the
+    * cached per-superstep state — and per-wave final visited mask frames.
     */
   private case class Raw(
       idx: DataFrame,
@@ -55,6 +71,8 @@ object BitsetBfs {
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
+    val nsC = (0 until maskCols).map(j => s"n$j") // state: newly-set bits
+    val vsC = (0 until maskCols).map(j => s"v$j") // state: visited bits
 
     // deterministic pivot numbering: idx → (wave, column, bit). Distributed
     // range minting — the pivot set is P rows today but the Chechik sample
@@ -71,71 +89,73 @@ object BitsetBfs {
 
     def nonZero(cols: Seq[String]): Column =
       cols.map(c => col(c) =!= 0L).reduce(_ || _)
+    def newlyProj(state: DataFrame): DataFrame =
+      state.where(nonZero(nsC)).select(
+        col("id") +: nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
 
     var incs = Vector.empty[(Int, Int, DataFrame)]
     var visitedOut = Vector.empty[(Int, DataFrame)]
     for (w <- 0 until nWaves) {
-      // init: vertex = pivot, its own bit set, dist 0
+      // init: vertex = pivot, its own bit set (newly AND visited), dist 0
+      val masks0 = ms.indices.map { j =>
+        when(col("mcol") === j, expr("shiftleft(CAST(1 AS BIGINT), mbit)"))
+          .otherwise(0L)
+      }
       val init0 = idx.where(col("wave") === w).select(
         col("pivot").as("id") +:
-          ms.zipWithIndex.map { case (m, j) =>
-            when(col("mcol") === j, expr("shiftleft(CAST(1 AS BIGINT), mbit)"))
-              .otherwise(0L).as(m)
-          }: _*)
+          (nsC.zip(masks0).map { case (n, m) => m.as(n) } ++
+           vsC.zip(masks0).map { case (v, m) => m.as(v) }): _*)
       // a vertex can be several pivots only across waves, never within (idx distinct)
-      // NOTE: increments carry NO dist column — the superstep d lives in the
-      // `incs` tuples. A `lit(d)` in the loop plan would change the generated
-      // code every superstep (literals are inlined by codegen) and force a
-      // janino recompile per superstep: measured seconds of SERIAL driver
-      // time that caps N→4N scaling. The loop plan is now superstep-
+      // NOTE: state frames carry NO dist column — the superstep d lives in
+      // the `incs` tuples. A `lit(d)` in the loop plan would change the
+      // generated code every superstep (literals are inlined by codegen) and
+      // force a janino recompile per superstep: measured seconds of SERIAL
+      // driver time that caps N→4N scaling. The loop plan is superstep-
       // invariant, so codegen caches hit from superstep 2 on; consumers
       // attach dist from the tuple when assembling their one output plan.
-      val (frontier0, rows0) = mat.iterateCounted(init0, 0, -1.0)
-      var frontier = frontier0
-      var visited = frontier.select((col("id") +: ms.map(col)): _*)
-      incs :+= ((w, 0, frontier))
+      val (state0, rows0) = mat.iterateCountedWhere(init0, 0, -1.0, nonZero(nsC))
+      var state = state0
+      incs :+= ((w, 0, newlyProj(state0)))
       var d = 0
       var frontierRows = rows0
 
       while (frontierRows > 0 && d < maxIter) {
         d += 1
-        val cand = frontier
+        val frontier = state.where(nonZero(nsC))
+        // tag 0 = candidate masks (neighbor messages), tag 1 = visited masks;
+        // ONE groupBy aggregates both sides and the projection derives the
+        // new state — fused message reduce + visited test + visited update
+        val msgs = frontier
           .join(adjacency, frontier("id") === adjacency("src"))
-          .select(explode(col("neighbors")).as("id") +: ms.map(col): _*)
+          .select(explode(col("neighbors")).as("id") +: lit(0).as("tag") +:
+            nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
+        val old = state.select(
+          col("id") +: lit(1).as("tag") +:
+            vsC.zip(ms).map { case (v, m) => col(v).as(m) }: _*)
+        val aggs =
+          ms.map(m => bit_or(when(col("tag") === 0, col(m)).otherwise(0L)).as(s"a_$m")) ++
+          ms.map(m => bit_or(when(col("tag") === 1, col(m)).otherwise(0L)).as(s"b_$m"))
+        val comb = msgs.unionAll(old)
           .groupBy("id")
-          .agg(bit_or(col(ms.head)).as(ms.head),
-            ms.tail.map(m => bit_or(col(m)).as(m)): _*)
-        val vis = visited.select(
-          col("id") +: ms.map(m => col(m).as(s"v_$m")): _*)
-        val newly = cand
-          .join(vis, Seq("id"), "left")
-          .select(col("id") +: ms.map { m =>
-            col(m).bitwiseAND(coalesce(col(s"v_$m"), lit(0L)).bitwiseXOR(lit(-1L))).as(m)
-          }: _*)
-          .where(nonZero(ms))
-        // materialize + count fused — one job per superstep for the frontier
-        val (inc, cnt) = mat.iterateCounted(newly, d, frontierRows.toDouble)
-        frontier = inc
+          .agg(aggs.head, aggs.tail: _*)
+        val next = comb.select(
+          col("id") +:
+            (ms.zip(nsC).map { case (m, n) =>
+              col(s"a_$m").bitwiseAND(col(s"b_$m").bitwiseXOR(lit(-1L))).as(n)
+            } ++
+            ms.zip(vsC).map { case (m, v) =>
+              col(s"a_$m").bitwiseOR(col(s"b_$m")).as(v)
+            }): _*)
+        val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, nonZero(nsC))
+        state = st
         frontierRows = cnt
-        if (frontierRows > 0) {
-          incs :+= ((w, d, inc))
-          // visited ∪ newly: unionAll + bit_or groupBy, NOT an outer join —
-          // union stats ADD while join stats MULTIPLY, and localCheckpoint
-          // inherits originStats, so a visited⋈newly(⊃visited) merge would
-          // square sizeInBytes every superstep (STATS DISCIPLINE — see
-          // PageRank). n rows either way: cheap next to the message stage.
-          visited = mat.iterate(
-            visited.select((col("id") +: ms.map(col)): _*)
-              .unionAll(inc.select((col("id") +: ms.map(col)): _*))
-              .groupBy("id")
-              .agg(bit_or(col(ms.head)).as(ms.head),
-                ms.tail.map(m => bit_or(col(m)).as(m)): _*),
-            d, frontierRows.toDouble)
-        }
+        if (frontierRows > 0) incs :+= ((w, d, newlyProj(state)))
         onSuperstep(d, frontierRows)
       }
-      visitedOut :+= ((w, visited))
-      onWaveVisited(w, visited)
+      val vis = state.select(
+        col("id") +: vsC.zip(ms).map { case (v, m) => col(v).as(m) }: _*)
+      visitedOut :+= ((w, vis))
+      onWaveVisited(w, vis)
     }
     Raw(idx, ms, incs, visitedOut)
   }
@@ -189,10 +209,14 @@ object BitsetBfs {
   }
 
   /** Per-pivot harmonic centrality Σ_v 1/d(pivot,v) WITHOUT materializing the
-    * (pivot, id, dist) relation: for each mask column, one aggregate of 64
-    * bit-histogram sums Σ_rows ((m_j >> b) & 1)/dist over the increments.
-    * Executors reduce everything to P doubles; the driver assembles the
-    * result from those scalars plus the (small) pivot index map.
+    * (pivot, id, dist) relation: one distributed aggregate over all waves'
+    * increments computes the 64·maskCols bit-histogram sums
+    * Σ_rows ((m_j >> b) & 1)/dist per wave, `stack` unpivots the per-wave
+    * sum row into (wave, mcol, mbit, h) — nWaves·64·maskCols rows — and a
+    * broadcast join attaches them to the distributed pivot index. Nothing of
+    * pivot cardinality ever lands on the driver (round-2 assembled the
+    * result via a driver-side map + collect + 1-partition parallelize —
+    * exactly what breaks at the Chechik web-scale sample size).
     *
     * Identical output to `Geometric.scores(run(...)).select(id, harmonic)`
     * (spec-checked) at O(n·maskCols) aggregate cost instead of O(P·n) rows.
@@ -210,31 +234,26 @@ object BitsetBfs {
     val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
     val ms = raw.maskNames
 
-    // h(wave, mcol, mbit) from ONE aggregate pass per wave covering all
-    // maskCols × 64 sums — round-1 ran one pass PER mask column, re-scanning
-    // the wave's increment union maskCols times (verdict "What's wrong" #8)
-    val h = scala.collection.mutable.Map.empty[(Int, Int, Int), Double].withDefaultValue(0.0)
-    raw.increments.groupBy(_._1).foreach { case (w, winc) =>
-      val body = winc.collect { case (_, d, inc) if d > 0 =>
-          inc.withColumn("dist", lit(d)) }
-        .reduceOption(_ unionAll _)
-      body.foreach { frames =>
+    val body = raw.increments.collect { case (w, d, inc) if d > 0 =>
+        inc.select(lit(w).as("wave") +: lit(d).as("dist") +: ms.map(col): _*)
+      }
+      .reduceOption(_ unionAll _)
+
+    body match {
+      case None =>
+        // no superstep ever advanced: every pivot reaches nothing
+        raw.idx.select(col("pivot").as("id"), lit(0.0).as("harmonic"))
+      case Some(frames) =>
         val sums = for { (m, j) <- ms.zipWithIndex; b <- 0 until 64 }
           yield sum(expr(s"shiftright($m, $b) & 1").cast("double") / col("dist")).as(s"s_${j}_$b")
-        val row = frames.agg(sums.head, sums.tail: _*).head()
-        for { j <- ms.indices; b <- 0 until 64 } {
-          val i = j * 64 + b
-          if (!row.isNullAt(i)) h((w, j, b)) += row.getDouble(i)
-        }
-      }
+        val agg = frames.groupBy("wave").agg(sums.head, sums.tail: _*)
+        val stackArgs = (for { j <- ms.indices; b <- 0 until 64 }
+          yield s"$j, $b, s_${j}_$b").mkString(", ")
+        val h = agg.selectExpr(
+          "wave", s"stack(${64 * ms.size}, $stackArgs) AS (mcol, mbit, h)")
+        raw.idx
+          .join(broadcast(h), Seq("wave", "mcol", "mbit"), "left")
+          .select(col("pivot").as("id"), coalesce(col("h"), lit(0.0)).as("harmonic"))
     }
-
-    val out = raw.idx
-      .select("pivot", "wave", "mcol", "mbit")
-      .collect()
-      .map(r => Row(r.getLong(0), h((r.getInt(1), r.getInt(2), r.getInt(3)))))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1),
-      org.apache.spark.sql.types.StructType.fromDDL("id LONG, harmonic DOUBLE"))
   }
 }

@@ -133,8 +133,12 @@ object Chechik {
         .agg(sum("dist").cast("long").as("farness"))
       processed = Some(mat.iterate(
         processed.map(_.unionAll(exactF)).getOrElse(exactF), (l / batch).toInt, certified.toDouble))
+      // batch size is derivable from the dense schedule bounds — positions
+      // are 0..n-1, so [l, l+batch) holds min(batch, n−l) ids; a count()
+      // here was a full scan job inside the flagship's hot loop (round-2
+      // verdict #3)
+      exactBfs += math.min(batch, n - l)
       l += batch
-      exactBfs += batchIds.count()
       // largest possible true closeness among unprocessed candidates
       val remRow = schedule.where(col("pos") >= l)
         .agg(max(lit(1.0) / nullif(col("apxF"), lit(0.0))))

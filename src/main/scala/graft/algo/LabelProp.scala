@@ -3,7 +3,6 @@ package graft.algo
 import graft.core.{Materializer, LocalMaterializer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Synchronous label propagation (community detection; north rule,
   * SURVEY.md §2.12 G3). Deterministic by construction:
@@ -36,17 +35,19 @@ object LabelProp {
         .join(adjacency, labels("id") === adjacency("src"))
         .select(explode(col("neighbors")).as("id"), col("label"))
       val counts = msgs.groupBy("id", "label").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("id").orderBy(desc("c"), asc("label"))
       // every vertex of the adjacency has ≥1 neighbor (vertex set = its
       // sources, symmetrized), so winners covers ALL vertices and no
       // keep-old-label fallback join is needed — which also keeps the
       // superstep single-reference in `labels` (STATS DISCIPLINE: see
       // PageRank — a second multiplicative reference squares inherited
-      // localCheckpoint stats every round)
+      // localCheckpoint stats every round).
+      // max_by on struct(c, -label) = most frequent label, ties → smallest
+      // label (labels are unique per group, so the ordering value is unique
+      // and the pick deterministic): a hash aggregate, not the round-2
+      // row_number window whose per-group sort was an extra per-round sort.
       val next = counts
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("id"), col("label"))
+        .groupBy("id")
+        .agg(max_by(col("label"), struct(col("c"), negate(col("label")))).as("label"))
       labels = mat.iterate(next, iter, -1.0)
     }
     labels

@@ -10,18 +10,38 @@ import org.apache.spark.sql.functions._
   * thread per source (GeometricCentralities.java:151-207,
   * ChechikTopCloseness.java:143-190). We invert the loop nesting
   * (SURVEY.md §3.4): ALL pivots advance one hop per superstep, so each
-  * superstep is a single Catalyst-planned frontier⋈adjacency join + dedup +
-  * anti-join, and the driver only ever sees scalar frontier counts.
+  * superstep is ONE Catalyst-planned job, and the driver only ever sees
+  * scalar frontier counts.
   *
-  * State relation: Dist(pivot, id, dist) with dist ≥ 0; the dist=0 row is the
-  * source itself (the reference excludes the source from distance sums but
-  * counts it as reachable — GeometricCentralities.java:170-188 — the dist=0
-  * row satisfies both: contributes 0 to sums, 1 to counts).
+  * State relation: V(pivot, id, dist, isNew) — the full distance relation so
+  * far, with `isNew` marking the current frontier. The superstep FUSES
+  * message aggregation, dedup, the visited test, and the visited update into
+  * a single union + groupBy:
   *
-  * Scale notes: only each superstep's newly-discovered increment is
-  * materialized (the visited set is their union — a flat unionAll of
-  * checkpointed scans, never rewritten); the adjacency side of the join keeps
-  * its cached hash(src) partitioning so only the frontier shuffles.
+  *   V' = (V[isNew := false] ∪ messages(frontier)[isNew := true])
+  *          .groupBy(pivot, id).agg(min(dist), bool_and(isNew))
+  *
+  * min(dist) keeps the first-discovery distance (old rows always carry a
+  * smaller dist than this superstep's messages), and bool_and(isNew) is true
+  * exactly when NO old row exists — the distributed `distance[s] == -1` test
+  * (GeometricCentralities.java:165,176-178). One job, one shuffle of
+  * |V| + Σ deg(frontier) rows per superstep — the round-2 shape (message
+  * groupBy + anti-join + separate visited-consolidation job) paid two jobs
+  * and roughly twice the n-row shuffle traffic per superstep, fixed cost
+  * that capped N→4N scaling efficiency.
+  *
+  * The dist=0 row is the source itself (the reference excludes the source
+  * from distance sums but counts it as reachable —
+  * GeometricCentralities.java:170-188 — the dist=0 row satisfies both).
+  *
+  * Scale notes: the adjacency side of the frontier join keeps its cached
+  * hash(src) partitioning; dist advances as `frontier.dist + 1` so the loop
+  * plan carries NO per-superstep literal (codegen caches hit from superstep
+  * 2 on — a varying `lit(d)` would force a janino recompile per superstep,
+  * serial driver time). State checkpoints are REPLACED, window 2, so live
+  * memory is O(|V|), not O(supersteps·|V|); with a DirMaterializer the
+  * per-iteration state parquet is self-contained, so resume needs only the
+  * last completed iteration.
   */
 object MultiBfs {
 
@@ -35,71 +55,42 @@ object MultiBfs {
       adjacency: DataFrame,
       sources: DataFrame,
       maxIter: Int = 256,
-      mat: Materializer = new LocalMaterializer(window = 0),
+      mat: Materializer = new LocalMaterializer(window = 2),
       onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
 
-    // Increments carry NO dist column — the superstep d lives in the vector
-    // (and in the checkpoint dir name for resume). A `lit(d)` inside the
-    // loop plan would change the generated code every superstep (codegen
-    // inlines literals) and force a janino recompile per superstep — serial
-    // driver seconds that cap N→4N scaling. The loop plan is superstep-
-    // invariant; dist is attached once when assembling the output relation.
-    var increments = mat.resumeIncrements().toVector
-      .map { case (i, f) => (i, f.select("pivot", "id")) }
-    if (increments.isEmpty) {
-      val init = sources
-        .select(col("pivot").cast("long").as("pivot"))
-        .distinct()
-        .select(col("pivot"), col("pivot").as("id"))
-      increments = Vector((0, mat.iterate(init, 0, -1.0)))
+    val resumed = mat.resumeIncrements().lastOption
+    var (d, state, frontierRows) = resumed match {
+      case Some((i, st)) =>
+        val s = st.select("pivot", "id", "dist", "isNew")
+        (i, s, s.where(col("isNew")).count())
+      case None =>
+        val init = sources
+          .select(col("pivot").cast("long").as("pivot"))
+          .distinct()
+          .select(col("pivot"), col("pivot").as("id"),
+            lit(0).as("dist"), lit(true).as("isNew"))
+        val (st, n) = mat.iterateCountedWhere(init, 0, -1.0, col("isNew"))
+        (0, st, n)
     }
 
-    var d = increments.last._1
-    var frontier = increments.last._2.select("pivot", "id")
-    var frontierSize = frontier.count()
-    // visited is consolidated into ONE checkpointed frame per superstep —
-    // a growing unionAll of increments would make superstep d's plan carry
-    // d branches (quadratic planning over a deep BFS). Consolidation is a
-    // localCheckpoint (ephemeral): on resume it is rebuilt from the
-    // mat-owned increments, which remain the durable unit.
-    var visited = increments.map(_._2).reduce(_ unionAll _)
-    if (increments.size > 1) visited = visited.localCheckpoint(true)
-    var ownedVisited: Option[DataFrame] = if (increments.size > 1) Some(visited) else None
-
-    while (frontierSize > 0 && d < maxIter) {
+    while (frontierRows > 0 && d < maxIter) {
       d += 1
-      // superstep: frontier ⋈ adjacency, explode the neighbor slices, dedup
-      // (a vertex is reached from many frontier vertices AND many salt
-      // slices), then anti-join the visited set — the distributed form of
-      // the `distance[s] == -1` test (GeometricCentralities.java:165,176-178).
-      val candidates = frontier
+      val frontier = state.where(col("isNew"))
+      val msgs = frontier
         .join(adjacency, frontier("id") === adjacency("src"))
-        .select(col("pivot"), explode(col("neighbors")).as("id"))
-        .distinct()
-      val newly = candidates
-        .join(visited.select("pivot", "id"), Seq("pivot", "id"), "left_anti")
-        .select(col("pivot"), col("id"))
-      // materialize + count fused (one Spark job per superstep, not two —
-      // the count was half the per-superstep fixed cost)
-      val (inc, cnt) = mat.iterateCounted(newly, d, frontierSize.toDouble)
-      frontier = inc
-      frontierSize = cnt
-      if (frontierSize > 0) {
-        increments :+= ((d, inc))
-        val nv = visited.unionAll(inc).localCheckpoint(true)
-        ownedVisited.foreach(_.unpersist(false))
-        ownedVisited = Some(nv)
-        visited = nv
-      }
-      onSuperstep(d, frontierSize)
+        .select(col("pivot"), explode(col("neighbors")).as("id"),
+          (col("dist") + 1).as("dist"), lit(true).as("isNew"))
+      val next = state
+        .select(col("pivot"), col("id"), col("dist"), lit(false).as("isNew"))
+        .unionAll(msgs)
+        .groupBy("pivot", "id")
+        .agg(min("dist").as("dist"), bool_and(col("isNew")).as("isNew"))
+      val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, col("isNew"))
+      state = st
+      frontierRows = cnt
+      onSuperstep(d, frontierRows)
     }
-    // the consolidated anti-join frame is loop-internal state now — release
-    // it; the output below reads only the mat-owned increments
-    ownedVisited.foreach(_.unpersist(false))
-    // output relation: dist attached per increment, ONE plan built here
-    increments
-      .map { case (i, f) => f.select(col("pivot"), col("id"), lit(i).as("dist")) }
-      .reduce(_ unionAll _)
+    state.select("pivot", "id", "dist")
   }
 
   /** Single-source convenience. */

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import java.nio.file.{Files, Paths, Path}
 import scala.collection.mutable
 
@@ -46,6 +46,18 @@ trait Materializer {
     (out, out.count())
   }
 
+  /** Like [[iterateCounted]] but counts only the rows matching `pred` while
+    * still materializing the WHOLE frame in the same job (the filter-count
+    * computes every partition of the checkpointed plan). Lets a loop whose
+    * state carries both accumulated and newly-added rows (BFS state frames)
+    * drive itself off the increment count with one job per superstep.
+    */
+  def iterateCountedWhere(
+      df: DataFrame, iter: Int, metric: Double, pred: Column): (DataFrame, Long) = {
+    val out = iterate(df, iter, metric)
+    (out, out.where(pred).count())
+  }
+
   /** Materialize lazily where the strategy allows: the returned frame's
     * FIRST action completes materialization, so a loop whose convergence
     * check immediately aggregates the new state (PageRank L∞ delta, CC
@@ -63,6 +75,14 @@ trait Materializer {
 
 final class LocalMaterializer(window: Int = 0) extends Materializer {
   private val live = mutable.Queue.empty[DataFrame]
+  // Deferred frames enter the eviction window only at the NEXT iterate*
+  // call: by then the loop has run its materializing action (or built the
+  // next state over this frame, whose own action materializes it), so the
+  // window never unpersists a lazily-checkpointed frame before it
+  // materialized — which would silently forfeit the checkpoint and replay
+  // lineage (round-2 advice on LocalMaterializer window eviction).
+  private var pending: Option[DataFrame] = None
+  private def flushPending(): Unit = { pending.foreach(track); pending = None }
   private def track(out: DataFrame): DataFrame = {
     if (window > 0) {
       live.enqueue(out)
@@ -70,20 +90,39 @@ final class LocalMaterializer(window: Int = 0) extends Materializer {
     }
     out
   }
-  override def iterate(df: DataFrame, iter: Int, metric: Double): DataFrame =
+  override def iterate(df: DataFrame, iter: Int, metric: Double): DataFrame = {
+    flushPending()
     track(df.localCheckpoint(true))
+  }
 
   /** ONE job per superstep: a LAZY localCheckpoint whose materializing
     * action is the count itself.
     */
   override def iterateCounted(df: DataFrame, iter: Int, metric: Double): (DataFrame, Long) = {
+    flushPending()
     val out = df.localCheckpoint(false)
     val n = out.count()
     (track(out), n)
   }
 
-  override def iterateDeferred(df: DataFrame, iter: Int, metric: Double): DataFrame =
-    track(df.localCheckpoint(false))
+  /** ONE job: lazy checkpoint whose materializing action is the filtered
+    * count (computing the filter computes — and thereby persists — every
+    * partition of the checkpointed frame).
+    */
+  override def iterateCountedWhere(
+      df: DataFrame, iter: Int, metric: Double, pred: Column): (DataFrame, Long) = {
+    flushPending()
+    val out = df.localCheckpoint(false)
+    val n = out.where(pred).count()
+    (track(out), n)
+  }
+
+  override def iterateDeferred(df: DataFrame, iter: Int, metric: Double): DataFrame = {
+    flushPending()
+    val out = df.localCheckpoint(false)
+    pending = Some(out)
+    out
+  }
 }
 
 final class DirMaterializer(spark: SparkSession, dir: String) extends Materializer {

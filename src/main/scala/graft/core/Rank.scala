@@ -66,6 +66,13 @@ object Rank {
     * value is no worse than the k-th best), with no single-partition sort of
     * the full relation. `valueOrder` must order by the ranking value alone.
     *
+    * PRECONDITIONS (callers must hold both — the window form would too, but
+    * differently): `df` must be DETERMINISTIC across executions, because it
+    * is evaluated twice (boundary collect, then filter scan) — materialize
+    * nondeterministic inputs (localCheckpoint) first; and the ranking value
+    * must be NON-NULL on every row — the tie predicate drops NULLs, whereas
+    * `rank()` would order them per the sort's null ordering.
+    *
     * @param kth extracts the ranking value from the k-th row
     * @param keep builds the tie-extending predicate from that value
     */

@@ -29,6 +29,36 @@ object GroundTruth {
         col("farness").cast("long").as("farness"))
   }
 
+  /** The golden-file WRITER half of the reference's correctness methodology
+    * (ExactCloseness.java:46-58): exact per-vertex scores → ONE json object
+    * `{"nodes": [...], "closeness": [...], "farness": [...]}` with `nodes`
+    * in closeness-rank order (closeness desc, ties asc id — the
+    * deterministic form of Sorter.closenessSort) and `closeness`/`farness`
+    * indexed BY VERTEX ID, which therefore must be dense 0..n−1.
+    *
+    * Driver-side by design: the format is a single JSON object with
+    * id-indexed arrays, inherently driver-sized — the reference's own
+    * generator is likewise a single-node O(n²) validation tool, not a scale
+    * path. Use at golden-fixture scale only.
+    *
+    * @param gt (id, closeness, farness) with ids dense 0..n−1.
+    */
+  def write(gt: DataFrame, path: String): Unit = {
+    val rows = gt
+      .select(col("id").cast("long"), col("closeness").cast("double"),
+        col("farness").cast("long"))
+      .orderBy("id")
+      .collect()
+    require(rows.zipWithIndex.forall { case (r, i) => r.getLong(0) == i.toLong },
+      "ground-truth ids must be dense 0..n-1 (the arrays are id-indexed)")
+    val nodes = rows.sortBy(r => (-r.getDouble(1), r.getLong(0))).map(_.getLong(0))
+    val json =
+      s"""{"nodes": [${nodes.mkString(",")}],
+         | "closeness": [${rows.map(_.getDouble(1)).mkString(",")}],
+         | "farness": [${rows.map(_.getLong(2)).mkString(",")}]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
   /** GTLoader.getTopKNodes (GTLoader.java:46-54): the first k rank-ordered
     * nodes, extended through ties on the k-th closeness value.
     */

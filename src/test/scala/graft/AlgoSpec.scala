@@ -37,6 +37,16 @@ class AlgoSpec extends SparkTestBase {
     assert(got === exp)
   }
 
+  test("components: large-star/small-star rounds ≪ diameter on a path graph") {
+    // hash-min would need 255 supersteps here; Two-Phase contracts in O(log n)
+    val n = 256
+    val path = (0L until (n - 1).toLong).map(i => i -> (i + 1))
+    val res = Components.run(spark, adjOf(path))
+    assert(res.iterations <= 20, s"rounds ${res.iterations} not ≪ diameter ${n - 1}")
+    val labels = res.labels.collect().map(r => r.getAs[Long]("label")).distinct.toSeq
+    assert(labels === Seq(0L))
+  }
+
   test("label propagation matches in-memory oracle (4 synchronous rounds)") {
     val edges = erGraph(50, 0.08, seed = 6)
     val got = LabelProp.run(spark, adjOf(edges), rounds = 4)
