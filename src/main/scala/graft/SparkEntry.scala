@@ -493,10 +493,15 @@ object SparkEntry {
         .select(col("nsrc").as("src"), col("ndst").as("dst"))
       val adj = Graph.adjacency(dense).persist()
       val pivots = vmap.select(col("nid").as("pivot"))
-      val scores = Geometric.scores(
-        graft.algo.BitsetBfs.run(s, adj, pivots, maskCols = 16))
+      // all-vertex exact farness via the bitset histogram — the explode-free
+      // O(n·maskCols) path; closeness = 1/farness (ExactCloseness semantics)
+      val far = graft.algo.BitsetBfs.farness(
+        graft.algo.BitsetBfs.visit(s, adj, pivots, maskCols = 8))
+      val scores = far.select(col("id"),
+        when(col("farness") > 0, lit(1.0) / col("farness")).otherwise(0.0).as("closeness"),
+        col("farness"))
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gt_${System.nanoTime()}.json"
-      graft.ingest.GroundTruth.write(scores.select("id", "closeness", "farness"), tmp)
+      graft.ingest.GroundTruth.write(scores, tmp)
       graft.ingest.GroundTruth.read(s, tmp)
         .select(col("id"), col("rank"),
           round(col("closeness"), 6).as("closeness"), col("farness"))

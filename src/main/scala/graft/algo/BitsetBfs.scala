@@ -49,11 +49,16 @@ import org.apache.spark.sql.functions._
   */
 object BitsetBfs {
 
-  /** Raw wave results: pivot→(wave,mcol,mbit) map, per-superstep newly-bit
-    * mask frames (wave, dist, frame(id, m0..)) — filtered projections of the
-    * cached per-superstep state — and per-wave final visited mask frames.
+  /** Handle to a completed bitset visit: pivot→(wave,mcol,mbit) index map,
+    * per-superstep newly-bit mask frames (wave, dist, frame(id, m0..)) —
+    * filtered projections of the cached per-superstep state — and per-wave
+    * final visited mask frames. Consumed by the histogram/reverse aggregates
+    * below without ever exploding to (pivot, id, dist) rows; obtain one via
+    * [[visit]] and reuse it across several aggregates (one BFS, many
+    * consumers — e.g. Chechik needs farness AND the λ ratio from the same
+    * pivot visit).
     */
-  private case class Raw(
+  case class Visit(
       idx: DataFrame,
       maskNames: Seq[String],
       increments: Vector[(Int, Int, DataFrame)],
@@ -67,7 +72,7 @@ object BitsetBfs {
       maxIter: Int,
       mat: Materializer,
       onSuperstep: (Int, Long) => Unit,
-      onWaveVisited: (Int, DataFrame) => Unit): Raw = {
+      onWaveVisited: (Int, DataFrame) => Unit): Visit = {
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
@@ -157,8 +162,22 @@ object BitsetBfs {
       visitedOut :+= ((w, vis))
       onWaveVisited(w, vis)
     }
-    Raw(idx, ms, incs, visitedOut)
+    Visit(idx, ms, incs, visitedOut)
   }
+
+  /** Run the wave BFS and return the [[Visit]] handle for histogram/reverse
+    * consumers. Parameters as for [[run]].
+    */
+  def visit(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      pivots: DataFrame,
+      maskCols: Int = 16,
+      maxIter: Int = 256,
+      mat: Materializer = new LocalMaterializer(window = 0),
+      onSuperstep: (Int, Long) => Unit = (_, _) => (),
+      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): Visit =
+    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
 
   /** @param adjacency output of Graph.adjacency over SYMMETRIZED edges,
     *                  persisted by the caller.
@@ -231,29 +250,122 @@ object BitsetBfs {
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
 
-    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
-    val ms = raw.maskNames
+    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited))
+  }
 
-    val body = raw.increments.collect { case (w, d, inc) if d > 0 =>
+  /** Per-pivot harmonic from a completed [[Visit]] (see the other overload). */
+  def harmonic(v: Visit): DataFrame =
+    histogram(v, "harmonic", lit(0.0)) { (m, b) =>
+      sum(expr(s"shiftright($m, $b) & 1").cast("double") / col("dist"))
+    }
+
+  /** Per-pivot farness Σ_v d(pivot, v) from a completed [[Visit]] — exact
+    * integer sums (Long end to end, GeometricCentralities.java:187 widened
+    * per SURVEY.md §1.1), same distributed histogram assembly as
+    * [[harmonic]]. Identical to
+    * `run(...).groupBy(pivot).agg(sum(dist))` without the mask explode.
+    */
+  def farness(v: Visit): DataFrame =
+    histogram(v, "farness", lit(0L)) { (m, b) =>
+      sum(expr(s"shiftright($m, $b) & 1") * col("dist")).cast("long")
+    }
+
+  /** Shared histogram assembly: `cell(maskCol, bit)` is the per-(pivot)
+    * aggregate over the increment union (columns: wave, dist, m0..); the
+    * 64·maskCols sums per wave are computed in ONE distributed groupBy,
+    * unpivoted with `stack`, and broadcast-joined to the pivot index.
+    */
+  private def histogram(v: Visit, outCol: String, zero: Column)(
+      cell: (String, Int) => Column): DataFrame = {
+    val ms = v.maskNames
+    val body = v.increments.collect { case (w, d, inc) if d > 0 =>
         inc.select(lit(w).as("wave") +: lit(d).as("dist") +: ms.map(col): _*)
       }
       .reduceOption(_ unionAll _)
-
     body match {
       case None =>
         // no superstep ever advanced: every pivot reaches nothing
-        raw.idx.select(col("pivot").as("id"), lit(0.0).as("harmonic"))
+        v.idx.select(col("pivot").as("id"), zero.as(outCol))
       case Some(frames) =>
         val sums = for { (m, j) <- ms.zipWithIndex; b <- 0 until 64 }
-          yield sum(expr(s"shiftright($m, $b) & 1").cast("double") / col("dist")).as(s"s_${j}_$b")
+          yield cell(m, b).as(s"s_${j}_$b")
         val agg = frames.groupBy("wave").agg(sums.head, sums.tail: _*)
         val stackArgs = (for { j <- ms.indices; b <- 0 until 64 }
           yield s"$j, $b, s_${j}_$b").mkString(", ")
         val h = agg.selectExpr(
           "wave", s"stack(${64 * ms.size}, $stackArgs) AS (mcol, mbit, h)")
-        raw.idx
+        v.idx
           .join(broadcast(h), Seq("wave", "mcol", "mbit"), "left")
-          .select(col("pivot").as("id"), coalesce(col("h"), lit(0.0)).as("harmonic"))
+          .select(col("pivot").as("id"), coalesce(col("h"), zero).as(outCol))
+    }
+  }
+
+  /** Per-TARGET Σ_s d(s, v) / div(s) over all pivots s (the accumulation
+    * direction of the sampling estimators: Horvitz–Thompson apxFarness with
+    * div = p_s, ChechikFarnessEstimator.java:143,158-161; plain reverse
+    * farness with div = 1) WITHOUT the (pivot, id) row explosion — see
+    * [[reverseAgg]]. Returns (id, value); targets visited by no pivot are
+    * absent.
+    */
+  def reverseSum(v: Visit, divisors: DataFrame): DataFrame =
+    reverseAgg(v, divisors, max = false)
+
+  /** Per-TARGET max_s d(s, v) / div(s) — the λ estimator ratio with
+    * div = F(s) (ChechikEstimator.java:151-160). Returns (id, value).
+    */
+  def reverseMax(v: Visit, divisors: DataFrame): DataFrame =
+    reverseAgg(v, divisors, max = true)
+
+  /** The reverse-direction aggregate: per wave, the ≤ 64·maskCols per-pivot
+    * divisors are collected (bounded by the WAVE width, never the pivot
+    * count) into per-mask-column array literals, and each increment row
+    * folds its set bits through the array with a codegen'd `aggregate`
+    * lambda — O(n·maskCols) row passes per wave for ANY pivot count, vs the
+    * O(P·n) rows of a row-BFS accumulation. Ratios are computed d / div in
+    * double, bit-identical to the row form. Pivots missing from `divisors`
+    * (e.g. F(s) = 0 sources, excluded by ChechikEstimator.java:52) are
+    * stored as divisor 0 and skipped by the fold; d = 0 rows contribute the
+    * identity but keep the target covered, mirroring the row accumulators.
+    *
+    * @param divisors (pivot, div: Double), div ≠ 0 where the pivot counts.
+    */
+  private def reverseAgg(v: Visit, divisors: DataFrame, max: Boolean): DataFrame = {
+    val ms = v.maskNames
+    val perWave = v.increments.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (w, winc) =>
+      val divs = v.idx.where(col("wave") === w)
+        .join(divisors.select(col("pivot"), col("div").cast("double").as("div")), "pivot")
+        .select("mcol", "mbit", "div")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      if (divs.isEmpty) None
+      else {
+        val body = winc.map { case (_, d, inc) =>
+          inc.select(lit(d).as("dist") +: col("id") +: ms.map(col): _*)
+        }.reduce(_ unionAll _)
+        val withArrs = ms.indices.foldLeft(body) { (df, j) =>
+          df.withColumn(s"arr$j",
+            typedLit((0 until 64).map(b => divs.getOrElse((j, b), 0.0))))
+        }
+        val op = if (max) "greatest(acc, %s)" else "acc + %s"
+        val term = ms.zipWithIndex.map { case (m, j) =>
+          val contrib =
+            s"IF((($m >> b) & 1) = 1 AND element_at(arr$j, b + 1) != 0D, " +
+              s"CAST(dist AS DOUBLE) / element_at(arr$j, b + 1), 0D)"
+          expr(s"aggregate(sequence(0, 63), 0D, (acc, b) -> ${op.format(contrib)})")
+        }
+        val rowTerm =
+          if (!max) term.reduce(_ + _)
+          else if (term.size == 1) term.head
+          else greatest(term: _*)
+        Some(withArrs.select(col("id"), rowTerm.as("t")))
+      }
+    }
+    perWave.reduceOption(_ unionAll _) match {
+      case None =>
+        v.idx.select(col("pivot").as("id")).limit(0).withColumn("value", lit(0.0))
+      case Some(all) =>
+        all.groupBy("id").agg((if (max) org.apache.spark.sql.functions.max(col("t"))
+          else sum(col("t"))).as("value"))
     }
   }
 }

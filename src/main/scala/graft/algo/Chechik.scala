@@ -41,11 +41,20 @@ object Chechik {
   def kCoefficient(n: Long, eps: Double): Double =
     math.ceil(math.log(n.toDouble) / (eps * eps))
 
+  /** Mask columns sized to the pivot count (≤ 16, the [[BitsetBfs]] cap). */
+  private def maskColsFor(p: Long): Int =
+    math.max(1L, math.min(16L, (p + 63) / 64)).toInt
+
   /** Estimator coefficients from a pivot multi-source BFS
     * (ChechikEstimator.java:51-65, SURVEY.md A9/A10): per vertex,
     * λ(w) = max(1/n, max_s d(s,w)/F(s)) over pivots s with total farness
     * F(s) > 0, and Bernoulli keep-probability p(w) = min(1, K·λ(w)).
     * Returns (id, lambda, p) for EVERY vertex of `verts`.
+    *
+    * ONE bitset visit feeds both halves: F(s) per pivot via the farness
+    * histogram, then the per-target max ratio via [[BitsetBfs.reverseMax]]
+    * with the F(s) divisors — O(n·maskCols) rows per superstep instead of
+    * the O(P·n) row relation a row-BFS accumulation would shuffle.
     */
   def estimatorCoefficients(
       spark: SparkSession,
@@ -55,17 +64,18 @@ object Chechik {
       n: Long,
       eps: Double = 0.1,
       onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
-    val pivotDist = MultiBfs.run(spark, adjacency, pivots, onSuperstep = onSuperstep)
+    val p = pivots.select(col("pivot").cast("long").as("pivot")).distinct()
       .localCheckpoint(true)
-    val totals = pivotDist.groupBy("pivot").agg(sum("dist").as("total"))
-    val lambda = pivotDist
-      .join(totals.where(col("total") > 0), "pivot")
-      .select(col("id"), (col("dist").cast("double") / col("total")).as("r"))
-      .groupBy("id").agg(max("r").as("maxr"))
+    val v = BitsetBfs.visit(spark, adjacency, p,
+      maskCols = maskColsFor(p.count()), onSuperstep = onSuperstep)
+    val divisors = BitsetBfs.farness(v)
+      .where(col("farness") > 0)
+      .select(col("id").as("pivot"), col("farness").cast("double").as("div"))
+    val maxr = BitsetBfs.reverseMax(v, divisors)
     val kCoef = kCoefficient(n, eps)
     verts
-      .join(lambda, Seq("id"), "left")
-      .select(col("id"), greatest(coalesce(col("maxr"), lit(0.0)), lit(1.0 / n)).as("lambda"))
+      .join(maxr, Seq("id"), "left")
+      .select(col("id"), greatest(coalesce(col("value"), lit(0.0)), lit(1.0 / n)).as("lambda"))
       .withColumn("p", least(lit(1.0), lit(kCoef) * col("lambda")))
   }
 
@@ -95,16 +105,19 @@ object Chechik {
     val probs = estimatorCoefficients(spark, adjacency, pivots, verts, n, eps, countStep)
       .select(col("id"), col("p"))
 
-    // 4. Bernoulli sample S (R2), HT farness estimate
+    // 4. Bernoulli sample S (R2), HT farness estimate apxF(v) = Σ_s d(s,v)/p_s
+    // — bitset visit + divisor-array reverse sum: the sample is the web-scale
+    // cardinality (K·E[λ]·n), so the row-BFS O(S·n) relation is exactly what
+    // must never materialize
     val sample = probs.where(u01(seed + 1, col("id")) < col("p")).localCheckpoint(true)
     val sampleSize = sample.count()
 
-    val sampleDist = MultiBfs.run(
-      spark, adjacency, sample.select(col("id").as("pivot")), onSuperstep = countStep)
-    val apxFarness = sampleDist
-      .join(sample.select(col("id").as("pivot"), col("p")), "pivot")
-      .groupBy("id")
-      .agg(sum(col("dist").cast("double") / col("p")).as("apxF"))
+    val vSample = BitsetBfs.visit(spark, adjacency,
+      sample.select(col("id").as("pivot")),
+      maskCols = maskColsFor(sampleSize), onSuperstep = countStep)
+    val apxFarness = BitsetBfs.reverseSum(
+        vSample, sample.select(col("id").as("pivot"), col("p").as("div")))
+      .select(col("id"), col("value").as("apxF"))
 
     // 5. certification loop. Schedule position via distributed range minting
     // (Rank.globalRank) — the schedule is n rows and a global row_number
@@ -128,9 +141,12 @@ object Chechik {
     while (certified < k && l < n) {
       val batchIds = schedule.where(col("pos") >= l && col("pos") < l + batch)
         .select(col("id").as("pivot"))
-      val exactF = MultiBfs.run(spark, adjacency, batchIds, onSuperstep = countStep)
-        .groupBy(col("pivot").as("id"))
-        .agg(sum("dist").cast("long").as("farness"))
+      // exact farness per batch pivot via the bitset histogram — a batch is
+      // one wave-packed visit, O(n·maskCols) rows/superstep, not O(batch·n)
+      val exactF = BitsetBfs.farness(
+          BitsetBfs.visit(spark, adjacency, batchIds,
+            maskCols = maskColsFor(batch), onSuperstep = countStep))
+        .select(col("id"), col("farness"))
       processed = Some(mat.iterate(
         processed.map(_.unionAll(exactF)).getOrElse(exactF), (l / batch).toInt, certified.toDouble))
       // batch size is derivable from the dense schedule bounds — positions

@@ -163,6 +163,39 @@ class AlgoSpec extends SparkTestBase {
     assert(bitsAll === rowsAll)
   }
 
+  test("bitset farness + reverse sum/max histograms match row-BFS accumulations") {
+    val edges = erGraph(70, 0.06, seed = 13)
+    val adj = adjOf(edges)
+    val pivots = (0L until 70L).toDF("pivot")
+    val v = BitsetBfs.visit(spark, adj, pivots, maskCols = 1) // 2 waves
+    val dist = MultiBfs.run(spark, adj, pivots).localCheckpoint(true)
+
+    val farRow = dist.groupBy("pivot").agg(sum("dist").cast("long").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val farBits = BitsetBfs.farness(v)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("farness")).toMap
+    (0L until 70L).foreach { p =>
+      assert(farBits(p) === farRow.getOrElse(p, 0L), s"farness($p)")
+    }
+
+    val divs = (0L until 70L).map(p => (p, (p % 7 + 1).toDouble)).toDF("pivot", "div")
+    val sumRow = dist.join(divs, "pivot")
+      .groupBy("id").agg(sum(col("dist").cast("double") / col("div")).as("s"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("s")).toMap
+    val sumBits = BitsetBfs.reverseSum(v, divs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+    assert(sumBits.keySet === sumRow.keySet)
+    sumRow.foreach { case (i, s) => assert(approxEqual(s, sumBits(i)), s"revSum($i)") }
+
+    val maxRow = dist.join(divs, "pivot")
+      .groupBy("id").agg(max(col("dist").cast("double") / col("div")).as("s"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("s")).toMap
+    val maxBits = BitsetBfs.reverseMax(v, divs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+    assert(maxBits.keySet === maxRow.keySet)
+    maxRow.foreach { case (i, s) => assert(approxEqual(s, maxBits(i)), s"revMax($i)") }
+  }
+
   test("bitset BFS: harmonic scores identical to row-BFS scores") {
     val edges = erGraph(70, 0.06, seed = 12)
     val adj = adjOf(edges)
