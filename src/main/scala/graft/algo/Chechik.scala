@@ -3,7 +3,6 @@ package graft.algo
 import graft.core.{Materializer, LocalMaterializer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Chechik–Cohen–Kaplan sampled top-k closeness (the reference's flagship,
   * ChechikEstimator.java + ChechikFarnessEstimator.java +

@@ -17,7 +17,8 @@ object ScaleProbe {
     val pivots = args.lift(2).map(_.toInt).getOrElse(512)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.shuffle.partitions",
+        (sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "2").toInt * cores).toString)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.join.preferSortMergeJoin", "false")
