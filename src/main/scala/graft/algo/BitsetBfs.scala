@@ -62,7 +62,21 @@ object BitsetBfs {
       idx: DataFrame,
       maskNames: Seq[String],
       increments: Vector[(Int, Int, DataFrame)],
-      visited: Vector[(Int, DataFrame)])
+      visited: Vector[(Int, DataFrame)],
+      states: Vector[DataFrame]) {
+    /** Free every cached superstep state frame (and the pivot index). The
+      * visit's increment/visited frames are lazy projections of these states
+      * and become UNUSABLE — call only after all aggregates over the visit
+      * have been materialized. Without this, a long certification loop
+      * (Chechik runs estimator + sample + one visit per exact batch) keeps
+      * every superstep of every visit live in RAM-backed storage for the
+      * whole run (round-3 advice).
+      */
+    def release(): Unit = {
+      states.foreach(Materializer.unpersistCheckpoint(_))
+      Materializer.unpersistCheckpoint(idx)
+    }
+  }
 
   private def waves(
       spark: SparkSession,
@@ -100,6 +114,7 @@ object BitsetBfs {
 
     var incs = Vector.empty[(Int, Int, DataFrame)]
     var visitedOut = Vector.empty[(Int, DataFrame)]
+    var statesAcc = Vector.empty[DataFrame]
     for (w <- 0 until nWaves) {
       // init: vertex = pivot, its own bit set (newly AND visited), dist 0
       val masks0 = ms.indices.map { j =>
@@ -120,6 +135,7 @@ object BitsetBfs {
       // attach dist from the tuple when assembling their one output plan.
       val (state0, rows0) = mat.iterateCountedWhere(init0, 0, -1.0, nonZero(nsC))
       var state = state0
+      statesAcc :+= state0
       incs :+= ((w, 0, newlyProj(state0)))
       var d = 0
       var frontierRows = rows0
@@ -153,6 +169,7 @@ object BitsetBfs {
             }): _*)
         val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, nonZero(nsC))
         state = st
+        statesAcc :+= st
         frontierRows = cnt
         if (frontierRows > 0) incs :+= ((w, d, newlyProj(state)))
         onSuperstep(d, frontierRows)
@@ -162,7 +179,7 @@ object BitsetBfs {
       visitedOut :+= ((w, vis))
       onWaveVisited(w, vis)
     }
-    Visit(idx, ms, incs, visitedOut)
+    Visit(idx, ms, incs, visitedOut, statesAcc)
   }
 
   /** Run the wave BFS and return the [[Visit]] handle for histogram/reverse
@@ -255,9 +272,7 @@ object BitsetBfs {
 
   /** Per-pivot harmonic from a completed [[Visit]] (see the other overload). */
   def harmonic(v: Visit): DataFrame =
-    histogram(v, "harmonic", lit(0.0)) { (m, b) =>
-      sum(expr(s"shiftright($m, $b) & 1").cast("double") / col("dist"))
-    }
+    histogram(v, "harmonic", lit(0.0))(d => lit(1.0) / d)
 
   /** Per-pivot farness Σ_v d(pivot, v) from a completed [[Visit]] — exact
     * integer sums (Long end to end, GeometricCentralities.java:187 widened
@@ -266,17 +281,21 @@ object BitsetBfs {
     * `run(...).groupBy(pivot).agg(sum(dist))` without the mask explode.
     */
   def farness(v: Visit): DataFrame =
-    histogram(v, "farness", lit(0L)) { (m, b) =>
-      sum(expr(s"shiftright($m, $b) & 1") * col("dist")).cast("long")
-    }
+    histogram(v, "farness", lit(0L))(d => d.cast("long"))
 
-  /** Shared histogram assembly: `cell(maskCol, bit)` is the per-(pivot)
-    * aggregate over the increment union (columns: wave, dist, m0..); the
-    * 64·maskCols sums per wave are computed in ONE distributed groupBy,
-    * unpivoted with `stack`, and broadcast-joined to the pivot index.
+  /** Shared histogram assembly in two stages. The expensive pass over the
+    * increment union computes pure INTEGER bit counts grouped by
+    * (wave, dist) — `sum((m_j >> b) & 1)` per cell, no division or double
+    * cast in the hot loop (round-3 measured the weighted form as the
+    * trailing-segment cost; `dist` is constant per increment frame, so the
+    * weight hoists losslessly). The tiny second aggregate (supersteps × waves
+    * rows) applies `weight(dist)` and sums per wave; `stack` unpivots and a
+    * broadcast join attaches the sums to the distributed pivot index.
+    * Farness stays exact-integer end to end; harmonic's (1/d)·count carries
+    * one rounding per distance instead of one per vertex.
     */
   private def histogram(v: Visit, outCol: String, zero: Column)(
-      cell: (String, Int) => Column): DataFrame = {
+      weight: Column => Column): DataFrame = {
     val ms = v.maskNames
     val body = v.increments.collect { case (w, d, inc) if d > 0 =>
         inc.select(lit(w).as("wave") +: lit(d).as("dist") +: ms.map(col): _*)
@@ -287,9 +306,12 @@ object BitsetBfs {
         // no superstep ever advanced: every pivot reaches nothing
         v.idx.select(col("pivot").as("id"), zero.as(outCol))
       case Some(frames) =>
-        val sums = for { (m, j) <- ms.zipWithIndex; b <- 0 until 64 }
-          yield cell(m, b).as(s"s_${j}_$b")
-        val agg = frames.groupBy("wave").agg(sums.head, sums.tail: _*)
+        val counts = for { (m, j) <- ms.zipWithIndex; b <- 0 until 64 }
+          yield sum(expr(s"shiftright($m, $b) & 1")).as(s"c_${j}_$b")
+        val byDist = frames.groupBy("wave", "dist").agg(counts.head, counts.tail: _*)
+        val sums = for { j <- ms.indices; b <- 0 until 64 }
+          yield sum(weight(col("dist")) * col(s"c_${j}_$b")).as(s"s_${j}_$b")
+        val agg = byDist.groupBy("wave").agg(sums.head, sums.tail: _*)
         val stackArgs = (for { j <- ms.indices; b <- 0 until 64 }
           yield s"$j, $b, s_${j}_$b").mkString(", ")
         val h = agg.selectExpr(
@@ -324,8 +346,11 @@ object BitsetBfs {
     * O(P·n) rows of a row-BFS accumulation. Ratios are computed d / div in
     * double, bit-identical to the row form. Pivots missing from `divisors`
     * (e.g. F(s) = 0 sources, excluded by ChechikEstimator.java:52) are
-    * stored as divisor 0 and skipped by the fold; d = 0 rows contribute the
-    * identity but keep the target covered, mirroring the row accumulators.
+    * stored as divisor 0 and skipped by the fold; rows whose set bits are ALL
+    * divisor-less are filtered out entirely, so a target reached only by
+    * non-qualifying pivots is absent — exactly the row form's
+    * inner-join-then-group keyset. d = 0 rows on qualifying pivots
+    * contribute the identity but keep the target covered.
     *
     * @param divisors (pivot, div: Double), div ≠ 0 where the pivot counts.
     */
@@ -339,9 +364,22 @@ object BitsetBfs {
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       if (divs.isEmpty) None
       else {
+        // keyset parity with the row path (round-3 advice): a target reached
+        // ONLY by divisor-less pivots must not appear at all — the row form
+        // inner-joins divisors before grouping. Fold the qualifying bits into
+        // one Long mask per column and filter rows up front (also skips the
+        // fold work for non-qualifying rows).
+        val qual = ms.indices.map { j =>
+          (0 until 64).foldLeft(0L) { (acc, b) =>
+            if (divs.getOrElse((j, b), 0.0) != 0.0) acc | (1L << b) else acc
+          }
+        }
+        val qualPred = ms.zipWithIndex
+          .map { case (m, j) => col(m).bitwiseAND(lit(qual(j))) =!= 0L }
+          .reduce(_ || _)
         val body = winc.map { case (_, d, inc) =>
           inc.select(lit(d).as("dist") +: col("id") +: ms.map(col): _*)
-        }.reduce(_ unionAll _)
+        }.reduce(_ unionAll _).where(qualPred)
         val withArrs = ms.indices.foldLeft(body) { (df, j) =>
           df.withColumn(s"arr$j",
             typedLit((0 until 64).map(b => divs.getOrElse((j, b), 0.0))))

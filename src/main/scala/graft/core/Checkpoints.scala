@@ -28,6 +28,21 @@ import scala.collection.mutable
   *     mid-algorithm". Parquet writes one file per partition: that is the
   *     per-partition lineage unit a resumed run re-reads.
   */
+object Materializer {
+  /** Free the storage behind a `localCheckpoint`'d frame. `Dataset.unpersist`
+    * only reaches CacheManager entries (persist/cache); a checkpoint's
+    * storage is RDD-level, so walk the plan for its LogicalRDD nodes and
+    * unpersist those RDDs directly. The frame is UNRECOVERABLE afterwards
+    * (checkpointing truncated its lineage) — call only once every consumer
+    * is done with it.
+    */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
+}
+
 trait Materializer {
   /** Materialize iteration `iter`'s increment; the returned frame's plan no
     * longer references prior iterations. `metric` is this iteration's
@@ -86,7 +101,9 @@ final class LocalMaterializer(window: Int = 0) extends Materializer {
   private def track(out: DataFrame): DataFrame = {
     if (window > 0) {
       live.enqueue(out)
-      while (live.size > window) live.dequeue().unpersist(false)
+      // RDD-level unpersist: Dataset.unpersist is a no-op for checkpoints
+      // (round-3 advice — the eviction window silently leaked every frame)
+      while (live.size > window) Materializer.unpersistCheckpoint(live.dequeue())
     }
     out
   }

@@ -198,6 +198,22 @@ class AlgoSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
     assert(maxBits.keySet === maxRow.keySet)
     maxRow.foreach { case (i, s) => assert(approxEqual(s, maxBits(i)), s"revMax($i)") }
+
+    // divisor-less pivots (round-3 advice): a target reached ONLY by pivots
+    // absent from `divisors` must be ABSENT from the reverse aggregates —
+    // the row form inner-joins divisors before grouping. Keep just pivot 0's
+    // divisor: every target outside pivot 0's component must disappear.
+    val divsOnly0 = Seq((0L, 2.0)).toDF("pivot", "div")
+    val rowOnly0 = dist.join(divsOnly0, "pivot")
+      .groupBy("id").agg(sum(col("dist").cast("double") / col("div")).as("s"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("s")).toMap
+    val bitsOnly0 = BitsetBfs.reverseSum(v, divsOnly0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+    assert(bitsOnly0.keySet === rowOnly0.keySet)
+    rowOnly0.foreach { case (i, s) => assert(approxEqual(s, bitsOnly0(i)), s"revSumOnly0($i)") }
+    val maxOnly0 = BitsetBfs.reverseMax(v, divsOnly0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+    assert(maxOnly0.keySet === rowOnly0.keySet)
   }
 
   test("bitset BFS: harmonic scores identical to row-BFS scores") {

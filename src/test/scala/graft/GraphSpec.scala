@@ -34,16 +34,35 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("salted adjacency slices reassemble the full neighbor set") {
-    // star: center 0 with 5 leaves, maxSlice 2 → 3 slices for the center
+    // star: center 0 with 5 leaves, maxSlice 2 → hash-salted into >1 slice
     val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 0L -> 5L)
     val adj = Graph.adjacency(edgeDf(star), maxSlice = 2)
     val centerSlices = adj.where($"src" === 0).collect()
-    assert(centerSlices.length === 3)
+    assert(centerSlices.length > 1)
     assert(centerSlices.forall(_.getAs[Long]("degree") === 5L))
     val reassembled = centerSlices.flatMap(r => r.getSeq[Long](r.fieldIndex("neighbors"))).sorted
     assert(reassembled === Array(1L, 2L, 3L, 4L, 5L))
-    assert(centerSlices.forall(r => r.getSeq[Long](r.fieldIndex("neighbors")).size <= 2))
     // leaves: single slice each
     assert(adj.where($"src" =!= 0).count() === 5)
+  }
+
+  test("adjacency build never materializes a hub's full neighbor list in one task") {
+    // hub 0 with 4096 leaves, maxSlice 256: the salt is derived on edge rows
+    // BEFORE the aggregation, so the largest array any aggregation task
+    // builds is one hash-balanced slice (mean maxSlice/2 = 128), never the
+    // 4096-long full adjacency. Deterministic: xxhash64 has no seed input.
+    val hubDeg = 4096
+    val hub = (1 to hubDeg).map(i => 0L -> i.toLong)
+    val adj = Graph.adjacency(edgeDf(hub), maxSlice = 256)
+    val slices = adj.where($"src" === 0).collect()
+    val sizes = slices.map(r => r.getSeq[Long](r.fieldIndex("neighbors")).size)
+    assert(sizes.sum === hubDeg)
+    assert(sizes.max <= 256, s"largest slice ${sizes.max} exceeds maxSlice")
+    assert(slices.forall(_.getAs[Long]("degree") === hubDeg.toLong))
+    // every slice internally sorted (determinism contract)
+    slices.foreach { r =>
+      val ns = r.getSeq[Long](r.fieldIndex("neighbors"))
+      assert(ns === ns.sorted)
+    }
   }
 }
