@@ -26,22 +26,39 @@ import graft.ann.Ann
   * needs tens of millions of message rows per superstep. At 21k vertices
   * the fixed cost is the bottleneck at ANY core count and no engine scales.
   *
+  * TIME BUDGET (round-3 lesson: `BENCH_r03.json` was rc 124 — the rep counts
+  * grew past the driver's wall-clock limit and the round shipped NO bench
+  * evidence): `SPARK_GRAFT_TIME_BUDGET` seconds (default 1500) bounds the
+  * whole main(). Rep counts are DERIVED — each phase measures its first rep
+  * and repeats only while the remaining budget allows, capped by the
+  * SPARK_GRAFT_*_REPS envs (now maxima, not mandates), floored at 1. The
+  * JSON line is emitted TWICE: once (marked `"partial":true`) as soon as the
+  * scaling legs finish, and again (final) at the end — a timeout after the
+  * legs still leaves a complete, parseable line on stdout and in
+  * target/bench.json.
+  *
+  * MEASUREMENT SEMANTICS (round-3 advice): every primary key — `value`, the
+  * per-query seconds, `sec_lo`/`sec_hi`, `efficiency` — is measured
+  * best-of-reps WALL-CLOCK of a single run; the per-superstep-min composites
+  * (a clean-capacity estimate no single run achieved, see below) ship under
+  * separate `*_composite` keys, and `methodology` names the scheme so
+  * round-over-round comparisons know what they are reading.
+  *
   * Measurement hygiene on this shared-tenancy box — measured hardware
   * ceilings bound what ANY code can show here: a register-only JVM burn
   * gives thread-scaling 8→32 ≈ 0.66 (the hypervisor delivers ~19 of the
-  * advertised 32 vCPUs under load) and a parallel memory-read benchmark
-  * saturates at ~63 GB/s, capping 4→16 at ~0.63 for shuffle-heavy work;
-  * 2→8 cores measures ~0.9+ on both axes, so the legs run at N=2, 4N=8 —
-  * the largest 4x span whose ceiling is not the host itself. The
-  * burn-measured CPU ceiling at the chosen counts ships in the JSON as
-  * `hw_ceiling` (max of warmed, interleaved short reps — capacity = the
-  * cleanest window; clamped to ≤1 with the raw value alongside). Each leg
-  * runs the job SPARK_GRAFT_SCALE_REPS times (default 4); the reported
-  * efficiency uses the per-superstep-min COMPOSITE across reps (the
-  * superstep schedule is deterministic, so segments align and each gets
-  * `reps` chances to land in a clean window — measured per-superstep
-  * speedups on this host swing 0.8x-5x within a single run purely from
-  * steal bursts), with the whole-run best-of shipped alongside.
+  * advertised 32 vCPUs under load) and parallel memory streaming saturates
+  * at ~63 GB/s; 2→8 cores measures ~0.9+ on both axes, so the legs run at
+  * N=2, 4N=8 — the largest 4x span whose ceiling is not the host itself.
+  * BOTH ceilings ship in the JSON (`hw_ceiling_cpu` from the arithmetic
+  * burn, `hw_ceiling_mem` from the streaming burn; `hw_ceiling` = their
+  * min, the binding constraint for shuffle-heavy supersteps), measured as
+  * the max of warmed, interleaved short reps — capacity = the cleanest
+  * window — clamped to ≤1 with the raw value alongside. Legs and burns run
+  * pinned to the leg's cpuset (`taskset -apc`, exit-code-checked; a failed
+  * pin resets affinity to all online CPUs and reports `"pinning":false` —
+  * local[N] caps task threads only, so an unpinned lo leg would borrow
+  * machine cores for GC/shuffle and overstate lo throughput).
   *
   * "Edges processed" is exact message counts, not estimates:
   *  - BFS: every visited (pivot, v) pair enters the frontier exactly once and
@@ -55,7 +72,7 @@ object Bench {
     * segment for everything outside the loop (wave init + the harmonic
     * aggregate). The superstep sequence is DETERMINISTIC for a given input
     * (same frontier sizes every rep), so segments align across reps by
-    * index — which lets the scaling legs take a per-segment MIN across reps
+    * index — which lets the composite take a per-segment MIN across reps
     * (a steal burst hits different supersteps in different reps; the
     * whole-run best still contains every burst that run caught).
     */
@@ -97,27 +114,81 @@ object Bench {
     threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
   }
 
-  /** Pin ALL current+future JVM threads to `n` cpus (taskset -ap). local[N]
-    * caps TASK parallelism only — GC, netty shuffle, codegen threads still
-    * fan out over the whole machine, so an unpinned "2-core" leg quietly
-    * borrows extra cores and overstates lo-leg throughput (deflating the
-    * measured N→4N efficiency). Pinning makes the leg behave like a real
-    * N-core executor. Best-effort: a host without taskset just skips it.
+  /** Parallel memory-streaming throughput at `threads` threads (bytes/sec):
+    * each thread sum-scans a private 32M-long (256 MB) array, defeating
+    * cache reuse — the shuffle-heavy supersteps are bandwidth-bound as much
+    * as compute-bound, and the DRAM controller is shared across cpusets, so
+    * this ceiling can bind where the register burn does not.
     */
-  private def pinCpus(n: Int): Unit =
-    try {
-      new ProcessBuilder("taskset", "-apc", s"0-${n - 1}",
-        ProcessHandle.current().pid().toString)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        .redirectError(ProcessBuilder.Redirect.DISCARD)
-        .start().waitFor()
-      ()
-    } catch { case _: Throwable => () }
+  private def memBurn(threads: Int, passes: Int = 16): Double = {
+    val len = 32 * 1024 * 1024
+    val arrays = (0 until threads).map { i =>
+      val a = new Array[Long](len)
+      var j = 0
+      while (j < len) { a(j) = i.toLong + j; j += 1 } // touch every page
+      a
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = arrays.map { a =>
+      new Thread(() => {
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var j = 0
+          while (j < len) { s += a(j); j += 1 }
+          p += 1
+        }
+        sink.addAndGet(s)
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    threads.toDouble * len * 8L * passes / ((System.nanoTime() - t0) / 1e9)
+  }
 
-  private def withSession[A](cores: Int)(f: SparkSession => A): A = {
+  /** Pin ALL current+future JVM threads to `n` cpus (taskset -ap). Returns
+    * whether the pin took — round-3 advice: swallowing taskset failures
+    * could leave the JVM pinned to the previous leg's tiny cpuset and
+    * silently corrupt the main leg. `taskset -ap`'s OWN exit code is
+    * unreliable here (it races JVM thread death: a JIT/GC tid exiting
+    * between the list and set steps yields nonzero with every surviving
+    * thread correctly pinned), so run it twice (the second pass catches
+    * threads spawned during the first) and then VERIFY by reading the main
+    * thread's mask back from /proc — new threads inherit their parent's
+    * mask, and every parent was in the pinned set.
+    */
+  private def pinCpus(n: Int): Boolean = {
+    val spec = s"0-${n - 1}"
+    def attempt(): Unit =
+      try {
+        new ProcessBuilder("taskset", "-apc", spec,
+          ProcessHandle.current().pid().toString)
+          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start().waitFor()
+        ()
+      } catch { case _: Throwable => () }
+    attempt(); attempt()
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("Cpus_allowed_list:") =>
+          l.split("\\s+").last }
+        .contains(spec)
+      finally src.close()
+    } catch { case _: Throwable => false }
+  }
+
+  /** Best-effort affinity reset to every online CPU (recovery path when a
+    * leg pin fails partway — never leave the JVM on a stale cpuset).
+    */
+  private def unpinAll(): Boolean = pinCpus(Runtime.getRuntime.availableProcessors())
+
+  private def withSession[A](cores: Int, shuffleMult: Int)(f: SparkSession => A): A = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.shuffle.partitions", (shuffleMult * cores).toString)
       // AQE OFF for the bench: its per-shuffle-stage driver-side re-planning
       // is SERIAL and identical at every core count — measured ~2x on the
       // big supersteps at 8 cores (5.9-7.6 s/superstep without vs 9-17 s
@@ -152,9 +223,9 @@ object Bench {
     * tripled each rep's exposure to hypervisor steal bursts without being
     * part of the timed job.
     */
-  private def prepScaleDir(n: Long): String = {
+  private def prepScaleDir(n: Long, shuffleMult: Int): String = {
     val dir = s"${sys.props.getOrElse("spark.local.dir", "/tmp")}/graft-bench-adj-$n"
-    withSession(32) { s =>
+    withSession(32, shuffleMult) { s =>
       val (adj, _, _) = buildScaleGraph(s, n)
       adj.write.mode("overwrite").parquet(dir)
       adj.unpersist(true)
@@ -278,15 +349,14 @@ object Bench {
     Job(sec, steps, steps * arcs, segs :+ math.max(0.0, sec - segs.sum))
   }
 
-  /** Breadth queries timed at local[32] only (coverage, not the headline).
-    * Best-of `reps` per query — round 3's single-shot numbers swung up to
-    * 2.6× between runs purely from steal bursts (q_chechik 40 s vs 105 s),
-    * which made round-over-round comparison meaningless.
+  /** ONE timed pass over the breadth queries at local[32] (coverage, not the
+    * headline). The caller reps passes while the budget allows and takes the
+    * per-query min — round 3's single-shot numbers swung up to 2.6× between
+    * runs purely from steal bursts.
     */
-  private def breadth(spark: SparkSession, sfDir: String, adj: DataFrame,
-      reps: Int): Seq[(String, Double)] = {
+  private def breadthPass(spark: SparkSession, sfDir: String, adj: DataFrame): Seq[(String, Double)] = {
     def t(name: String)(f: => Any): (String, Double) =
-      (name, try (1 to reps).map(_ => time(f)._2).min catch { case e: Throwable =>
+      (name, try time(f)._2 catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 })
     Seq(
       t("q_cc") { Components.run(spark, adj).labels.count() },
@@ -311,56 +381,94 @@ object Bench {
       })
   }
 
+  /** Merge breadth passes: per-query min over successful reps (−1 = all failed). */
+  private def mergeBreadth(passes: Seq[Seq[(String, Double)]]): Seq[(String, Double)] =
+    passes.head.map(_._1).map { name =>
+      val ok = passes.flatMap(_.collect { case (`name`, s) if s >= 0 => s })
+      (name, if (ok.isEmpty) -1.0 else ok.min)
+    }
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rowPivots = sys.env.getOrElse("SPARK_GRAFT_PIVOTS", "32").toInt
     val scalePivots = sys.env.getOrElse("SPARK_GRAFT_SCALE_PIVOTS", "512").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2000000").toLong
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+    // rep CAPS (budget decides the actual counts, floored at 1)
+    val scaleRepCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+    val headRepCap = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
+    val breadthRepCap = sys.env.getOrElse("SPARK_GRAFT_BREADTH_REPS", "3").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toDouble
+    val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "2").toInt
     val loCores = 2
     val hiCores = 8
     val mainCores = 32
 
-    // hypervisor-delivered CPU ceiling at the two scaling core counts.
-    // Round-1 lesson: a single cold-JVM burn(lo) pays JIT while burn(hi)
-    // reuses compiled code → hw_ceiling 2.35 (impossible). Warm up untimed,
-    // then ALTERNATE many short lo/hi reps and take the MAX per thread count
-    // — capacity is what the cleanest window delivers, exactly like the
-    // best-of rule for the legs; clamp the ratio at 1 and ship the raw too.
-    // Burns run pinned to the leg's cpuset, like the legs themselves.
-    pinCpus(loCores); burn(loCores, iters = 30000000L)
-    pinCpus(hiCores); burn(hiCores, iters = 30000000L)
-    val burnReps = (1 to 6).map { _ =>
-      pinCpus(loCores); val lo = burn(loCores, 200000000L)
-      pinCpus(hiCores); val hi = burn(hiCores, 200000000L)
+    var pinningOk = true
+    def pin(n: Int): Unit = if (!pinCpus(n)) { pinningOk = false; unpinAll(); () }
+
+    // hypervisor-delivered ceilings at the two scaling core counts, on both
+    // axes the supersteps exercise: arithmetic (register burn) and DRAM
+    // streaming. Round-1 lesson: a single cold-JVM burn(lo) pays JIT while
+    // burn(hi) reuses compiled code → hw_ceiling 2.35 (impossible). Warm up
+    // untimed, then ALTERNATE short lo/hi reps and take the MAX per thread
+    // count — capacity is what the cleanest window delivers, exactly like
+    // the best-of rule for the legs; clamp ratios at 1 and ship the raw too.
+    pin(loCores); burn(loCores, iters = 30000000L)
+    pin(hiCores); burn(hiCores, iters = 30000000L)
+    val burnReps = (1 to 4).map { _ =>
+      pin(loCores); val lo = burn(loCores, 200000000L)
+      pin(hiCores); val hi = burn(hiCores, 200000000L)
       (lo, hi)
     }
-    pinCpus(mainCores)
-    val hwLo = burnReps.map(_._1).max
-    val hwHi = burnReps.map(_._2).max
-    val hwCeilingRaw = hwHi / ((hiCores.toDouble / loCores) * hwLo)
-    val hwCeiling = math.min(1.0, hwCeilingRaw)
+    val memReps = (1 to 2).map { _ =>
+      pin(loCores); val lo = memBurn(loCores)
+      pin(hiCores); val hi = memBurn(hiCores)
+      (lo, hi)
+    }
+    pin(mainCores)
+    val factor = hiCores.toDouble / loCores
+    val hwCpuRaw = burnReps.map(_._2).max / (factor * burnReps.map(_._1).max)
+    val hwMemRaw = memReps.map(_._2).max / (factor * memReps.map(_._1).max)
+    val hwCpu = math.min(1.0, hwCpuRaw)
+    val hwMem = math.min(1.0, hwMemRaw)
+    val hwCeiling = math.min(hwCpu, hwMem)
 
     // scaling legs: same job, same prebuilt input, only parallelism varies.
     // Sessions ALTERNATE lo/hi so hypervisor-throttle windows hit both legs
     // alike; best-of-reps per leg estimates the clean-host capacity (noise
     // only ever subtracts). Every rep is reported (reps_lo/reps_hi in the
-    // JSON) — the spread IS the host noise.
-    val scaleDir = prepScaleDir(scaleN)
+    // JSON) — the spread IS the host noise. Pair count is budget-derived:
+    // the legs may spend up to half the budget, measured off the first pair.
+    val scaleDir = prepScaleDir(scaleN, shuffleMult)
     def scaleLeg(cores: Int): Job = {
-      pinCpus(cores)
-      try withSession(cores) { s =>
+      pin(cores)
+      try withSession(cores, shuffleMult) { s =>
         val (adj, deg) = loadScaleGraph(s, scaleDir)
         try harmonicJob(s, adj, deg, scalePivots, bitset = true)
         finally adj.unpersist(true)
-      } finally pinCpus(mainCores)
+      } finally pin(mainCores)
     }
-    val legRuns =
-      try (1 to scaleReps).flatMap(_ =>
-        Seq(loCores -> scaleLeg(loCores), hiCores -> scaleLeg(hiCores)))
-      finally deleteRecursively(scaleDir)
+    val scaleCutoff = budget * 0.5
+    var legRuns = Vector.empty[(Int, Job)]
+    var pairSec = 0.0
+    try {
+      var pairs = 0
+      var continue = true
+      while (continue) {
+        val (pair, sec) = time {
+          Seq(loCores -> scaleLeg(loCores), hiCores -> scaleLeg(hiCores))
+        }
+        legRuns ++= pair
+        pairSec = sec
+        pairs += 1
+        continue = pairs < scaleRepCap && elapsed + pairSec * 1.1 < scaleCutoff
+      }
+    } finally deleteRecursively(scaleDir)
     val loRuns = legRuns.collect { case (c, j) if c == loCores => j }
     val hiRuns = legRuns.collect { case (c, j) if c == hiCores => j }
+    val scaleReps = loRuns.size
     val lo = loRuns.maxBy(_.edgesPerSec)
     val hiScale = hiRuns.maxBy(_.edgesPerSec)
     // clean-capacity composite: per-superstep min across reps (the superstep
@@ -370,62 +478,102 @@ object Bench {
     // as best-of, applied at the granularity bursts actually occur)
     val loCompSec = compositeSec(loRuns)
     val hiCompSec = compositeSec(hiRuns)
+    // PRIMARY efficiency = measured best-of single-run wall-clock (round-3
+    // advice: composites are synthetic times no run achieved — they ship
+    // under *_composite keys only)
+    val efficiency = hiScale.edgesPerSec / (factor * lo.edgesPerSec)
+    val efficiencyComp = loCompSec / (factor * hiCompSec)
+
+    def scalingJson: String =
+      s""""scaling":{"job":"harmonic_bitset_${scalePivots}pivots_synth${scaleN}","cores_lo":$loCores,"cores_hi":$hiCores""" +
+      s""","sec_lo":${f"${lo.sec}%.3f"},"sec_hi":${f"${hiScale.sec}%.3f"},"edges_per_sec_lo":${f"${lo.edgesPerSec}%.0f"},"edges_per_sec_hi":${f"${hiScale.edgesPerSec}%.0f"}""" +
+      s""","factor":$factor,"efficiency":${f"$efficiency%.3f"},"efficiency_vs_ceiling":${f"${efficiency / hwCeiling}%.3f"}""" +
+      s""","sec_lo_composite":${f"$loCompSec%.3f"},"sec_hi_composite":${f"$hiCompSec%.3f"},"efficiency_composite":${f"$efficiencyComp%.3f"}""" +
+      s""","hw_ceiling":${f"$hwCeiling%.3f"},"hw_ceiling_cpu":${f"$hwCpu%.3f"},"hw_ceiling_cpu_raw":${f"$hwCpuRaw%.3f"},"hw_ceiling_mem":${f"$hwMem%.3f"},"hw_ceiling_mem_raw":${f"$hwMemRaw%.3f"}""" +
+      s""","reps":$scaleReps,"pinning":$pinningOk,"shuffle_mult":$shuffleMult""" +
+      s""","reps_lo_eps":[${loRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}],"reps_hi_eps":[${hiRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}]""" +
+      s""","segs_lo_min":[${(0 until loRuns.map(_.segs.size).min).map(i => f"${loRuns.map(_.segs(i)).min}%.2f").mkString(",")}],"segs_hi_min":[${(0 until hiRuns.map(_.segs.size).min).map(i => f"${hiRuns.map(_.segs(i)).min}%.2f").mkString(",")}]}"""
+
+    val methodology =
+      "primary keys are measured best-of-reps wall-clock; per-superstep-min composites under *_composite; time-budgeted rep counts"
+
+    def emit(queries: Seq[(String, Double)], extraBlocks: String, partial: Boolean): Unit = {
+      val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+      val total = queries.map(_._2).filter(_ > 0).sum
+      val jsonLine =
+        s"""{"metric":"harmonic+pagerank(1e-6) headline + breadth, sec at local[$mainCores]","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
+        s""","methodology":"$methodology","partial":$partial,"budget_sec":$budget,"elapsed_sec":${f"$elapsed%.1f"},$extraBlocks,$scalingJson}"""
+      // Belt and braces for the driver contract: the bare line on stdout is
+      // the contract; the file is a recovery path if stdout is ever mangled.
+      // Emitted after the scaling legs AND at the end, so a driver timeout
+      // mid-headline still leaves the last complete JSON on stdout/disk.
+      try {
+        val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          s"${sys.props.getOrElse("user.dir", ".")}/target/bench.json"))
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(out, jsonLine)
+      } catch { case _: Throwable => () }
+      System.out.println(jsonLine)
+      System.out.flush()
+    }
+
+    // partial emit: scaling evidence is the north rule's core claim — ship
+    // it as soon as it exists
+    emit(
+      Seq(s"q_scale_harmonic_bitset_${scalePivots}pivots" -> hiScale.sec),
+      s""""graph":{"vertices":0,"arcs":0}""",
+      partial = true)
 
     // main leg at local[32]: headline (harmonic + PageRank on the sf graph)
-    // + breadth coverage. The headline jobs run SPARK_GRAFT_HEAD_REPS times,
-    // alternating, and report the per-superstep-min composite — round 2 ran
-    // them once, so a single steal burst made rounds incomparable (r1→r2
-    // "regressed" 1.6× at identical config with no way to tell noise from
-    // regression).
-    val headReps = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
-    val (harmRuns, prRuns, buildSec, extras, arcs, nVerts) = withSession(mainCores) { s =>
-      warmup(s, sfDir)
-      val ((adj, deg, arcs), buildSec) = time(buildGraph(s, sfDir))
-      val runs = (1 to headReps).map { _ =>
-        (harmonicJob(s, adj, deg, rowPivots, bitset = false), pagerankJob(s, adj, arcs))
+    // + breadth coverage, rep counts budget-derived off the first rep.
+    val (harmRuns, prRuns, buildSec, extras, arcs, nVerts, headReps, breadthReps) =
+      withSession(mainCores, shuffleMult) { s =>
+        warmup(s, sfDir)
+        val ((adj, deg, arcs), buildSec) = time(buildGraph(s, sfDir))
+        var harmRuns = Vector.empty[Job]
+        var prRuns = Vector.empty[Job]
+        var repSec = 0.0
+        var continue = true
+        while (continue) {
+          val (pair, sec) = time {
+            (harmonicJob(s, adj, deg, rowPivots, bitset = false), pagerankJob(s, adj, arcs))
+          }
+          harmRuns :+= pair._1
+          prRuns :+= pair._2
+          repSec = sec
+          continue = harmRuns.size < headRepCap && elapsed + repSec * 1.15 < budget * 0.8
+        }
+        var passes = Vector(breadthPass(s, sfDir, adj))
+        var passSec = passes.head.map(_._2).filter(_ > 0).sum
+        while (passes.size < breadthRepCap && elapsed + passSec * 1.15 < budget * 0.97) {
+          val (p, sec) = time(breadthPass(s, sfDir, adj))
+          passes :+= p
+          passSec = sec
+        }
+        val n = deg.count()
+        adj.unpersist(true)
+        (harmRuns, prRuns, buildSec, mergeBreadth(passes), arcs, n, harmRuns.size, passes.size)
       }
-      val extras = breadth(s, sfDir, adj,
-        sys.env.getOrElse("SPARK_GRAFT_BREADTH_REPS", "3").toInt)
-      val n = deg.count()
-      adj.unpersist(true)
-      (runs.map(_._1), runs.map(_._2), buildSec, extras, arcs, n)
-    }
-    // supersteps + edges are deterministic across reps; seconds composite
-    val rowHarm = harmRuns.head
-    val pr = prRuns.head
-    val rowHarmSec = compositeSec(harmRuns)
-    val prSec = compositeSec(prRuns)
-
-    val factor = hiCores.toDouble / loCores
-    val efficiencyBestOf = hiScale.edgesPerSec / (factor * lo.edgesPerSec)
-    val efficiency = loCompSec / (factor * hiCompSec)
-    val headSec = rowHarmSec + prSec
+    // supersteps + edges are deterministic across reps; PRIMARY seconds are
+    // measured best-of wall-clock, composites alongside
+    val rowHarm = harmRuns.minBy(_.sec)
+    val pr = prRuns.minBy(_.sec)
+    val rowHarmComp = compositeSec(harmRuns)
+    val prComp = compositeSec(prRuns)
+    val headSec = rowHarm.sec + pr.sec
     val headEdges = rowHarm.edges + pr.edges
     val headSteps = rowHarm.supersteps + pr.supersteps
 
     val queries = Seq(
       "q_build_graph" -> buildSec,
-      s"q_harmonic_rowbfs_${rowPivots}pivots" -> rowHarmSec,
-      "q_pagerank_1e-6" -> prSec,
+      s"q_harmonic_rowbfs_${rowPivots}pivots" -> rowHarm.sec,
+      "q_pagerank_1e-6" -> pr.sec,
       s"q_scale_harmonic_bitset_${scalePivots}pivots" -> hiScale.sec) ++ extras
-    val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val total = queries.map(_._2).filter(_ > 0).sum
-
-    val jsonLine =
-      s"""{"metric":"harmonic+pagerank(1e-6) headline + breadth, sec at local[$mainCores]","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
-      s""","graph":{"vertices":$nVerts,"arcs":$arcs}""" +
-      s""","headline":{"supersteps":$headSteps,"edges_processed":$headEdges,"edges_per_sec":${f"${headEdges / headSec}%.0f"},"supersteps_per_sec":${f"${headSteps / headSec}%.3f"},"reps":$headReps,"reps_harm_sec":[${harmRuns.map(j => f"${j.sec}%.3f").mkString(",")}],"reps_pr_sec":[${prRuns.map(j => f"${j.sec}%.3f").mkString(",")}]}""" +
-      s""","scaling":{"job":"harmonic_bitset_${scalePivots}pivots_synth${scaleN}","cores_lo":$loCores,"cores_hi":$hiCores,"edges_per_sec_lo":${f"${lo.edges / loCompSec}%.0f"},"edges_per_sec_hi":${f"${hiScale.edges / hiCompSec}%.0f"},"sec_lo":${f"$loCompSec%.3f"},"sec_hi":${f"$hiCompSec%.3f"},"factor":$factor,"efficiency":${f"$efficiency%.3f"},"efficiency_bestof_whole_run":${f"$efficiencyBestOf%.3f"},"sec_lo_best_whole_run":${f"${lo.sec}%.3f"},"sec_hi_best_whole_run":${f"${hiScale.sec}%.3f"},"hw_ceiling":${f"$hwCeiling%.3f"},"hw_ceiling_raw":${f"$hwCeilingRaw%.3f"},"reps":$scaleReps,"reps_lo_eps":[${loRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}],"reps_hi_eps":[${hiRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}],"segs_lo_min":[${(0 until loRuns.map(_.segs.size).min).map(i => f"${loRuns.map(_.segs(i)).min}%.2f").mkString(",")}],"segs_hi_min":[${(0 until hiRuns.map(_.segs.size).min).map(i => f"${hiRuns.map(_.segs(i)).min}%.2f").mkString(",")}]}}"""
-    // Belt and braces for the driver contract: the bare line on stdout is
-    // the contract; the file is a recovery path if stdout is ever mangled.
-    // Default is relative to the launch dir so any host layout works.
-    try {
-      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        s"${sys.props.getOrElse("user.dir", ".")}/target/bench.json"))
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(out, jsonLine)
-    } catch { case _: Throwable => () }
-    System.out.println(jsonLine)
-    System.out.flush()
+    val headlineJson =
+      s""""graph":{"vertices":$nVerts,"arcs":$arcs}""" +
+      s""","headline":{"supersteps":$headSteps,"edges_processed":$headEdges,"edges_per_sec":${f"${headEdges / headSec}%.0f"},"supersteps_per_sec":${f"${headSteps / headSec}%.3f"}""" +
+      s""","reps":$headReps,"breadth_reps":$breadthReps,"harm_sec_composite":${f"$rowHarmComp%.3f"},"pr_sec_composite":${f"$prComp%.3f"}""" +
+      s""","reps_harm_sec":[${harmRuns.map(j => f"${j.sec}%.3f").mkString(",")}],"reps_pr_sec":[${prRuns.map(j => f"${j.sec}%.3f").mkString(",")}]}"""
+    emit(queries, headlineJson, partial = false)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.Graph
+import graft.core.{Graph, DirMaterializer}
 import graft.algo.{MultiBfs, Geometric, PageRank, Components, LabelProp, Triangles, Chechik, Progressive}
 import graft.data.Tpch
 import graft.ingest.{FilesTable, EdgeDeriver, ArcList, ResultsMerge}
@@ -52,6 +52,16 @@ object SparkEntry {
   }
 
   // ---- queries (driver runs each against the DuckDB oracle) ---------------
+
+  /** Queries Verify should run LAST (ascending cost tail): the iterative /
+    * loop-heavy ones whose loss under a truncated verify run would cost the
+    * fewest additional green rows per second spent. Everything not listed
+    * runs first, alphabetically.
+    */
+  val expensiveLast: Seq[String] = Seq(
+    "g8_pagerank", "g16_chechik_estimator", "f4_filegraph_harmonic",
+    "g25_checkpoint_resume", "g24_groundtruth", "g18_bfs_curve",
+    "g19_progressive", "g21_results_merge", "g12_chechik_topk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P2/P5: scan → dedup → symmetrize (Transform.symmetrize, Main.java:58)
@@ -310,15 +320,15 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-dup pairs via multi-band sign-LSH buckets (the
-    // scale path: shuffle by (band, bucket), never all-pairs; bands × nBits
-    // are configs — bucket cardinality bands·2^nBits grows with the corpus,
-    // round-1 verdict on the fixed-256-bucket X5). 4 bands × 8 bits at this
-    // sf keeps candidate sets non-empty; τ=0.35 because the synthetic
-    // embeddings carry no true duplicates — the operator shape is what's
-    // under test
+    // scale path: shuffle by (band, bucket), never all-pairs). nBits is
+    // DERIVED from corpus stats (Ann.autoNBits — bucket cardinality
+    // bands·2^nBits grows with the corpus, round-1 verdict on the
+    // fixed-256-bucket X5; at this sf the derivation lands on the historical
+    // 4 bands × 8 bits). τ=0.35 because the synthetic embeddings carry no
+    // true duplicates — the operator shape is what's under test
     "d5_embedding_neardup" -> ((s, dir) => {
-      Ann.cosineNearDupPairs(Tpch.table(s, dir, "embeddings"), minSim = 0.35,
-          nBits = 8, bands = 4)
+      Ann.cosineNearDupPairsAuto(Tpch.table(s, dir, "embeddings"), minSim = 0.35,
+          bands = 4)
         .orderBy("a", "b")
     }),
 
@@ -327,10 +337,11 @@ object SparkEntry {
       Ann.knnBrute(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10)
     }),
 
-    // multi-band sign-LSH bucketed ANN (the scale path; 4 bands × 8 bits)
+    // multi-band sign-LSH bucketed ANN (the scale path; nBits corpus-derived
+    // via Ann.autoNBits — lands on the historical 4 bands × 8 bits here)
     "a2_knn_lsh" -> ((s, dir) => {
-      Ann.knnLsh(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10,
-        nBits = 8, bands = 4)
+      Ann.knnLshAuto(Tpch.table(s, dir, "embeddings"), queryId = 0L, k = 10,
+        bands = 4)
     }),
 
     // S2/S6: arc-list text sink → source roundtrip (GraphReader.java:14-35,
@@ -514,8 +525,52 @@ object SparkEntry {
         MultiModal.withMedia(Tpch.table(s, dir, "documents"), "doc_id", "text"),
         nFrames = 4, stride = 64, width = 16)
         .orderBy("doc_id", "frame")
+    }),
+
+    // North-rule checkpoint/resume as a DRIVER-VISIBLE artifact (round-3
+    // verdict #7 — previously spec-only): PageRank runs 10 supersteps
+    // against a DirMaterializer (parquet per iteration + _graft_meta.json),
+    // iterations 6..10 are then DELETED and a fresh materializer over the
+    // same dir resumes from iteration 5's on-disk increment and recomputes
+    // the tail. The artifact is the RESUMED ranks (oracle: the same unrolled
+    // recurrence as g8) plus a parity counter against the uninterrupted run
+    // (tolerance 1e-12 — shuffle fetch order makes double sums
+    // bit-unstable, the algorithm is deterministic far beyond 6dp).
+    "g25_checkpoint_resume" -> ((s, dir) => {
+      val sym = Graph.symmetrize(Tpch.sparseEdges(s, dir))
+      val adj = Graph.adjacency(sym).persist()
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_${System.nanoTime()}"
+      val full = PageRank.run(s, adj, damping = 0.85, maxIter = 10, tol = 0.0,
+        mat = new DirMaterializer(s, tmp)).ranks.localCheckpoint(true)
+      (6 to 10).foreach(i => deleteDir(f"$tmp/iter=$i%05d"))
+      val resumed = PageRank.run(s, adj, damping = 0.85, maxIter = 10, tol = 0.0,
+        mat = new DirMaterializer(s, tmp)).ranks
+      val mismatches = full.select(col("id"), col("pr").as("pr_full"))
+        .join(resumed.select(col("id"), col("pr").as("pr_res")), Seq("id"), "full")
+        .where(col("pr_full").isNull || col("pr_res").isNull ||
+          abs(col("pr_full") - col("pr_res")) > 1e-12)
+        .count()
+      // checkpoint BEFORE deleting: `resumed` is lazily backed by the very
+      // parquet increments being cleaned up
+      val out = resumed
+        .select(col("id"), round(col("pr"), 6).as("pr"),
+          lit(mismatches).as("resume_mismatches"))
+        .orderBy("id")
+        .localCheckpoint(true)
+      deleteDir(tmp)
+      out
     })
   )
+
+  /** Recursive best-effort delete (checkpoint-dir cleanup for g25). */
+  private def deleteDir(path: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -1029,6 +1084,13 @@ FROM files"""),
         |fr AS (SELECT doc_id, CAST(frame AS BIGINT) AS frame,
         |  substr(h, frame * 128 + 1, 32) AS fh FROM f)
         |SELECT doc_id, frame, md5(fh) AS feature FROM fr
-        |WHERE len(fh) = 32 ORDER BY doc_id, frame""".stripMargin
+        |WHERE len(fh) = 32 ORDER BY doc_id, frame""".stripMargin,
+
+    // resumed run ≡ the same unrolled recurrence as g8, with a zero parity
+    // counter (the engine-side full/resumed compare must find no drift)
+    "g25_checkpoint_resume" ->
+      s"""SELECT id, pr, CAST(0 AS BIGINT) AS resume_mismatches
+         |FROM (${PageRank.oracleSql(E0Sparse, iters = 10, damping = 0.85)})
+         |ORDER BY id""".stripMargin
   )
 }

@@ -48,6 +48,31 @@ object Ann {
     topkSims(sims, k)
   }
 
+  /** Corpus-derived sign-LSH width (round-3 verdict #6 — the round-1
+    * "fixed 256 buckets" lesson one level up): per-band bucket count 2^nBits
+    * tracks the corpus so expected occupancy n/2^nBits stays ≤
+    * `targetOccupancy` and the within-bucket self-join cost stays linear in
+    * n rather than quadratic in a fixed-bucket load factor. Capped by the
+    * embedding dimensionality — each band consumes its own nBits sign
+    * dimensions, so past dim/bands buckets the projection runs out of
+    * independent hyperplanes (at that point raise `bands`, or switch to
+    * seeded random hyperplanes, out of scope here). Floor 8 keeps tiny
+    * corpora at the historical constant.
+    */
+  def autoNBits(corpusCount: Long, dim: Int, bands: Int = 4,
+      targetOccupancy: Long = 4): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusCount.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt
+    math.min(dim / bands, math.max(8, needed))
+  }
+
+  /** (count, dim) of an embedding corpus in one scan-light job. */
+  private def corpusStats(embs: DataFrame): (Long, Int) = {
+    val r = embs.agg(count(lit(1)), first(size(col("embedding")))).head()
+    (r.getLong(0), r.getInt(1))
+  }
+
   /** Random-hyperplane-style bucket for band `band`: the signs of
     * dimensions [band·nBits, (band+1)·nBits) (deterministic stand-in for
     * seeded gaussian hyperplanes — same bucketing math, no RNG parity
@@ -90,6 +115,22 @@ object Ann {
       .join(embs.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"), round(cosine(col("ea"), col("eb")), 6).as("sim"))
       .where(col("sim") >= minSim)
+  }
+
+  /** [[cosineNearDupPairs]] with nBits derived from corpus stats
+    * ([[autoNBits]]) instead of a static config.
+    */
+  def cosineNearDupPairsAuto(embs: DataFrame, minSim: Double,
+      bands: Int = 4): DataFrame = {
+    val (n, dim) = corpusStats(embs)
+    cosineNearDupPairs(embs, minSim, autoNBits(n, dim, bands), bands)
+  }
+
+  /** [[knnLsh]] with nBits derived from corpus stats ([[autoNBits]]). */
+  def knnLshAuto(embs: DataFrame, queryId: Long, k: Int,
+      bands: Int = 4): DataFrame = {
+    val (n, dim) = corpusStats(embs)
+    knnLsh(embs, queryId, k, autoNBits(n, dim, bands), bands)
   }
 
   /** LSH-bucketed ANN: candidates share any band bucket with the query,

@@ -33,9 +33,20 @@ object ScaleProbe {
       a
     }
 
+    // SPARK_GRAFT_ADJ_DIR: reuse a prebuilt adjacency parquet (written once
+    // at full cores, e.g. by a previous probe run with SPARK_GRAFT_ADJ_SAVE)
+    // so a pinned 2-core probe doesn't pay minutes of graph build first —
+    // same shape as Bench.prepScaleDir.
+    val adjDir = sys.env.get("SPARK_GRAFT_ADJ_DIR")
     val (adj, deg, arcs) = t("build") {
-      val sym = Graph.symmetrize(Synth.edges(spark, n))
-      val adj = Graph.adjacency(sym).persist()
+      val adj = adjDir match {
+        case Some(d) if java.nio.file.Files.exists(java.nio.file.Paths.get(d)) =>
+          spark.read.parquet(d).repartition(col("src")).persist()
+        case _ =>
+          val a = Graph.adjacency(Graph.symmetrize(Synth.edges(spark, n))).persist()
+          adjDir.foreach { d => a.write.mode("overwrite").parquet(d) }
+          a
+      }
       val deg = adj.select(col("src").as("id"), col("degree")).distinct().localCheckpoint(true)
       val arcs = deg.agg(sum("degree")).head().getLong(0)
       (adj, deg, arcs)

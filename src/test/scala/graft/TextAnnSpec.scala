@@ -95,6 +95,17 @@ class TextAnnSpec extends SparkTestBase {
     assert(all.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
   }
 
+  test("autoNBits: corpus-derived LSH width, dim-capped, floors at the historical constant") {
+    // the driver corpus (500 docs, dim 64, 4 bands) must land on the
+    // historical static config so d5/a2 results are unchanged
+    assert(Ann.autoNBits(500, 64, bands = 4) === 8)
+    // growth: occupancy n/2^nBits stays ≤ 4 while dims allow
+    assert(Ann.autoNBits(1L << 20, 256, bands = 4) === 18)
+    // dim cap: each band consumes its own nBits sign dimensions
+    assert(Ann.autoNBits(1L << 40, 64, bands = 4) === 16)
+    assert(Ann.autoNBits(1, 64, bands = 4) === 8)
+  }
+
   test("multimodal frames: bounded, deterministic, drop partial frames") {
     val media = MultiModal.withMedia(docs, "doc_id", "text")
     val f = MultiModal.frameFeatures(media, nFrames = 3, stride = 10, width = 5)
