@@ -283,16 +283,60 @@ object BitsetBfs {
   def farness(v: Visit): DataFrame =
     histogram(v, "farness", lit(0L))(d => d.cast("long"))
 
+  /** Per-bit counting aggregate: one `long[64·maskCols]` buffer per
+    * (wave, dist) group, incremented by iterating each row's SET bits only
+    * (`m &= m−1`), so total work is Σ visited (pivot, vertex) pairs — not
+    * rows × 64·maskCols cells.
+    *
+    * This is a typed [[org.apache.spark.sql.expressions.Aggregator]] on
+    * purpose, against the usual built-ins-first rule: the relational
+    * spelling is 64·maskCols parallel `sum((m >> b) & 1)` columns in one
+    * HashAggregate, whose 513-field schema falls out of whole-stage codegen
+    * (`spark.sql.codegen.maxFields` = 100) into interpreted per-expression
+    * evaluation — measured 40-50 s per visit at 8 cores/2M vertices, and
+    * still 20-35 s with the codegen limits raised. The primitive-buffer
+    * aggregator runs the same reduction in a JIT-tight loop: 12 s → and its
+    * output is 512 CELLS per group rather than 512 COLUMNS, so the
+    * downstream weighting/unpivot is a tiny posexplode instead of a `stack`
+    * over a wide row. (A custom Catalyst Expression could shave the
+    * per-row Seq decode too; not worth the surface while the aggregate is
+    * <10% of a visit.)
+    */
+  private final class BitCountAgg(maskCols: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](64 * maskCols)
+    def reduce(buf: Array[Long], masks: Seq[Long]): Array[Long] = {
+      var j = 0
+      while (j < maskCols) {
+        var m = masks(j)
+        while (m != 0L) {
+          buf(j * 64 + java.lang.Long.numberOfTrailingZeros(m)) += 1L
+          m &= m - 1
+        }
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Shared histogram assembly in two stages. The expensive pass over the
-    * increment union computes pure INTEGER bit counts grouped by
-    * (wave, dist) — `sum((m_j >> b) & 1)` per cell, no division or double
-    * cast in the hot loop (round-3 measured the weighted form as the
-    * trailing-segment cost; `dist` is constant per increment frame, so the
-    * weight hoists losslessly). The tiny second aggregate (supersteps × waves
-    * rows) applies `weight(dist)` and sums per wave; `stack` unpivots and a
-    * broadcast join attaches the sums to the distributed pivot index.
-    * Farness stays exact-integer end to end; harmonic's (1/d)·count carries
-    * one rounding per distance instead of one per vertex.
+    * increment union reduces each (wave, dist) group to 64·maskCols integer
+    * bit counts via [[BitCountAgg]] (see its scaladoc for why this is a
+    * typed aggregate, with measurements). The tiny second stage —
+    * supersteps × 64·maskCols rows — posexplodes the count cells, applies
+    * `weight(dist)`, sums per (wave, mcol, mbit), and a broadcast join
+    * attaches the sums to the distributed pivot index. Farness stays
+    * exact: counts are integers, `weight` = dist as Long, Long sums end to
+    * end. Harmonic's (1/d)·count carries one rounding per distance instead
+    * of one per visited vertex.
     */
   private def histogram(v: Visit, outCol: String, zero: Column)(
       weight: Column => Column): DataFrame = {
@@ -306,16 +350,19 @@ object BitsetBfs {
         // no superstep ever advanced: every pivot reaches nothing
         v.idx.select(col("pivot").as("id"), zero.as(outCol))
       case Some(frames) =>
-        val counts = for { (m, j) <- ms.zipWithIndex; b <- 0 until 64 }
-          yield sum(expr(s"shiftright($m, $b) & 1")).as(s"c_${j}_$b")
-        val byDist = frames.groupBy("wave", "dist").agg(counts.head, counts.tail: _*)
-        val sums = for { j <- ms.indices; b <- 0 until 64 }
-          yield sum(weight(col("dist")) * col(s"c_${j}_$b")).as(s"s_${j}_$b")
-        val agg = byDist.groupBy("wave").agg(sums.head, sums.tail: _*)
-        val stackArgs = (for { j <- ms.indices; b <- 0 until 64 }
-          yield s"$j, $b, s_${j}_$b").mkString(", ")
-        val h = agg.selectExpr(
-          "wave", s"stack(${64 * ms.size}, $stackArgs) AS (mcol, mbit, h)")
+        val bitcount = udaf(new BitCountAgg(ms.size),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        val byDist = frames
+          .select(col("wave"), col("dist"), array(ms.map(col): _*).as("masks"))
+          .groupBy("wave", "dist")
+          .agg(bitcount(col("masks")).as("cnt"))
+        val h = byDist
+          .select(col("wave"), col("dist"),
+            posexplode(col("cnt")).as(Seq("pos", "c")))
+          .withColumn("h", weight(col("dist")) * col("c"))
+          .groupBy(col("wave"), (col("pos") / 64).cast("int").as("mcol"),
+            pmod(col("pos"), lit(64)).cast("int").as("mbit"))
+          .agg(sum("h").as("h"))
         v.idx
           .join(broadcast(h), Seq("wave", "mcol", "mbit"), "left")
           .select(col("pivot").as("id"), coalesce(col("h"), zero).as(outCol))
