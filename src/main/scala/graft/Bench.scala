@@ -399,7 +399,11 @@ object Bench {
     val scaleRepCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
     val headRepCap = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
     val breadthRepCap = sys.env.getOrElse("SPARK_GRAFT_BREADTH_REPS", "3").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toDouble
+    // 2100 s + ~2 min sbt/JVM startup + worst-case one-phase overshoot lands
+    // ~35-38 min end to end — inside the ≥44 min the driver demonstrably
+    // allows (round 2 passed at 43:42), with the post-leg partial emit as
+    // the backstop if the host is slow
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2100").toDouble
     val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "2").toInt
     val loCores = 2
     val hiCores = 8
@@ -450,7 +454,11 @@ object Bench {
         finally adj.unpersist(true)
       } finally pin(mainCores)
     }
-    val scaleCutoff = budget * 0.5
+    // legs may spend ~2/3 of the budget: the scaling efficiency IS the north
+    // rule's core claim, and composite-of-minima needs reps to dodge this
+    // host's steal bursts; headline+breadth fit in the remainder (~10 min at
+    // sf0.1) with the post-leg partial emit as the safety net
+    val scaleCutoff = budget * 0.68
     var legRuns = Vector.empty[(Int, Job)]
     var pairSec = 0.0
     try {
