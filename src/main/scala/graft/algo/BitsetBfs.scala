@@ -18,22 +18,28 @@ import org.apache.spark.sql.functions._
   * (GeometricCentralities.java:151-207): bit b of mask column j set on
   * vertex v at superstep d  ⇔  d(pivot_{j·64+b}, v) = d.
   *
-  * Superstep = ONE fused job (the round-2 shape paid two jobs and an extra
-  * n-row shuffle per superstep — serial fixed cost that capped N→4N scaling
-  * efficiency). State frame per superstep: (id, n0.., v0..) where n_j are
-  * the newly-set bits of this superstep and v_j the cumulative visited
-  * masks. The update unions tagged message rows (tag 0, candidate masks)
-  * with tagged state rows (tag 1, visited masks) and aggregates both sides
-  * in one groupBy:
+  * Superstep = ONE fused job, ONE shuffle of ONLY the message rows. State is
+  * DENSE — one row per vertex, (id, n0.., v0..) where n_j are the bits newly
+  * set this superstep and v_j the cumulative visited masks — and stays
+  * hash(id)-partitioned across supersteps: the checkpoint captures the
+  * partitioning into its `LogicalRDD` and
+  * [[org.apache.spark.sql.graft.CheckpointStats.strip]] keeps it while
+  * dropping the inherited stats whose join-squaring blocked this plan shape
+  * in round 3. The superstep is then
   *
-  *   a_j = bit_or(mask where tag=0)   — candidates
-  *   b_j = bit_or(mask where tag=1)   — visited
-  *   n_j = a_j & ~b_j,  v_j = a_j | b_j
+  *   msgs = frontier ⋈ adjacency → explode → groupBy(id).agg(a_j = bit_or(m_j))
+  *   state' = state ⟕ msgs:  n_j = a_j & ~v_j,  v_j = v_j | a_j
   *
-  * One shuffle of (n + Σ deg(frontier)) rows per superstep, k+1 mask-width
-  * columns. All kernels are built-in codegen'd expressions: bit_or
-  * aggregate, bitwise AND/XOR/shift, `filter(sequence(0,63), ...)` for bit
-  * explode.
+  * where the frontier⋈adjacency join is map-side (both sides already
+  * hash-partitioned on the key, shuffled-hash build on the frontier), the
+  * groupBy's exchange is the superstep's only shuffle — Σ deg(frontier)
+  * rows, map-side bit_or combine — and the state⟕msgs merge is a
+  * co-partitioned shuffled-hash join that never moves the n state rows.
+  * (The round-3 union+groupBy form reshuffled n + Σ deg(frontier) rows per
+  * superstep at twice the aggregate width; the n-row term was pure fixed
+  * cost on every superstep past the frontier peak.) All kernels are
+  * built-in codegen'd expressions: bit_or aggregate, bitwise AND/XOR/shift,
+  * `filter(sequence(0,63), ...)` for bit explode.
   *
   * Two consumers:
   *  - [[run]] explodes masks back to the (pivot, id, dist) relation — once,
@@ -78,6 +84,50 @@ object BitsetBfs {
     }
   }
 
+  private def nonZeroCols(cols: Seq[String]): Column =
+    cols.map(c => col(c) =!= 0L).reduce(_ || _)
+
+  /** ONE join-form superstep over a dense hash(id)-partitioned state
+    * (id, n0.., v0..): message reduce (the superstep's only shuffle) plus the
+    * co-partitioned state⟕messages merge. Exposed package-private so
+    * PlanSpec can assert the physical shape — exactly one Exchange, no Sort,
+    * shuffled-hash joins — on the real loop plan rather than prose.
+    */
+  private[graft] def superstep(state: DataFrame, adjacency: DataFrame, maskCols: Int): DataFrame = {
+    val ms = (0 until maskCols).map(j => s"m$j")
+    val nsC = (0 until maskCols).map(j => s"n$j")
+    val vsC = (0 until maskCols).map(j => s"v$j")
+    val frontier = state.where(nonZeroCols(nsC))
+    // message reduce: the superstep's ONLY shuffle (Σ deg(frontier) rows,
+    // map-side bit_or combine). The frontier⋈adjacency join is
+    // co-partitioned (state hash(id) ≍ adjacency hash(src)) — shuffled-hash,
+    // built on the frontier side: stripped state stats are
+    // defaultSizeInBytes, so the hint is load-bearing (see CheckpointStats
+    // scaladoc), and SMJ would re-sort the cached adjacency every superstep.
+    val fr = frontier.hint("shuffle_hash")
+    val msgs = fr
+      .join(adjacency, fr("id") === adjacency("src"))
+      .select(explode(col("neighbors")).as("id") +:
+        nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
+      .groupBy("id")
+      .agg(bit_or(col(ms.head)).as(s"a_${ms.head}"),
+        ms.tail.map(m => bit_or(col(m)).as(s"a_$m")): _*)
+    // visited test + visited update, fused into the co-partitioned merge
+    // join: both sides are hash(id)-partitioned (state via its stripped
+    // checkpoint, msgs via the groupBy exchange above), so the n state rows
+    // never re-shuffle; left outer keeps the state side's partitioning for
+    // the NEXT superstep's checkpoint to capture.
+    state.join(msgs.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id") +:
+        (ms.zip(nsC.zip(vsC)).map { case (m, (n, v)) =>
+          coalesce(col(s"a_$m"), lit(0L))
+            .bitwiseAND(col(v).bitwiseXOR(lit(-1L))).as(n)
+        } ++
+        ms.zip(vsC).map { case (m, v) =>
+          col(v).bitwiseOR(coalesce(col(s"a_$m"), lit(0L))).as(v)
+        }): _*)
+  }
+
   private def waves(
       spark: SparkSession,
       adjacency: DataFrame,
@@ -86,7 +136,8 @@ object BitsetBfs {
       maxIter: Int,
       mat: Materializer,
       onSuperstep: (Int, Long) => Unit,
-      onWaveVisited: (Int, DataFrame) => Unit): Visit = {
+      onWaveVisited: (Int, DataFrame) => Unit,
+      vertsIn: DataFrame): Visit = {
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
@@ -106,25 +157,50 @@ object BitsetBfs {
       .localCheckpoint(true)
     val nWaves = idx.agg(coalesce(max("wave"), lit(-1))).head().getInt(0) + 1
 
-    def nonZero(cols: Seq[String]): Column =
-      cols.map(c => col(c) =!= 0L).reduce(_ || _)
+    def nonZero(cols: Seq[String]): Column = nonZeroCols(cols)
     def newlyProj(state: DataFrame): DataFrame =
       state.where(nonZero(nsC)).select(
         col("id") +: nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
+    def strip(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.CheckpointStats.strip(df)
+
+    // Dense vertex frame for the join-form superstep: every vertex of the
+    // (symmetrized) adjacency plus any isolated pivots, hash(id)-partitioned
+    // by its own distinct — the partitioning every per-wave state inherits.
+    // Built once per visit and dropped once all waves have materialized —
+    // UNLESS the caller supplied one (`vertsIn`): loops that run many visits
+    // over the same graph (a Chechik certification run is one visit per
+    // batch) would otherwise pay an n-row distinct + checkpoint per visit.
+    // A supplied frame must hold every adjacency vertex and every pivot,
+    // materialized (the caller owns its lifecycle), ideally hash(id)-
+    // partitioned so the one-exchange superstep shape holds from wave init.
+    val verts =
+      if (nWaves == 0) null
+      else if (vertsIn != null) vertsIn
+      else adjacency.select(col("src").as("id"))
+        .unionAll(idx.select(col("pivot").as("id")))
+        .distinct()
+        .localCheckpoint(true)
 
     var incs = Vector.empty[(Int, Int, DataFrame)]
     var visitedOut = Vector.empty[(Int, DataFrame)]
     var statesAcc = Vector.empty[DataFrame]
     for (w <- 0 until nWaves) {
-      // init: vertex = pivot, its own bit set (newly AND visited), dist 0
+      // init: vertex = pivot, its own bit set (newly AND visited), dist 0;
+      // all other vertices carry zero masks (dense state). The pivot side is
+      // ≤ 64·maskCols rows — explicit broadcast, so the init join preserves
+      // the verts partitioning.
       val masks0 = ms.indices.map { j =>
         when(col("mcol") === j, expr("shiftleft(CAST(1 AS BIGINT), mbit)"))
           .otherwise(0L)
       }
-      val init0 = idx.where(col("wave") === w).select(
+      val pivots0 = idx.where(col("wave") === w).select(
         col("pivot").as("id") +:
           (nsC.zip(masks0).map { case (n, m) => m.as(n) } ++
            vsC.zip(masks0).map { case (v, m) => m.as(v) }): _*)
+      val init0 = verts.join(broadcast(pivots0), Seq("id"), "left")
+        .select(col("id") +:
+          (nsC ++ vsC).map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       // a vertex can be several pivots only across waves, never within (idx distinct)
       // NOTE: state frames carry NO dist column — the superstep d lives in
       // the `incs` tuples. A `lit(d)` in the loop plan would change the
@@ -134,51 +210,31 @@ object BitsetBfs {
       // invariant, so codegen caches hit from superstep 2 on; consumers
       // attach dist from the tuple when assembling their one output plan.
       val (state0, rows0) = mat.iterateCountedWhere(init0, 0, -1.0, nonZero(nsC))
-      var state = state0
-      statesAcc :+= state0
-      incs :+= ((w, 0, newlyProj(state0)))
+      var state = strip(state0)
+      statesAcc :+= state
+      incs :+= ((w, 0, newlyProj(state)))
       var d = 0
       var frontierRows = rows0
 
       while (frontierRows > 0 && d < maxIter) {
         d += 1
-        val frontier = state.where(nonZero(nsC))
-        // tag 0 = candidate masks (neighbor messages), tag 1 = visited masks;
-        // ONE groupBy aggregates both sides and the projection derives the
-        // new state — fused message reduce + visited test + visited update
-        val msgs = frontier
-          .join(adjacency, frontier("id") === adjacency("src"))
-          .select(explode(col("neighbors")).as("id") +: lit(0).as("tag") +:
-            nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
-        val old = state.select(
-          col("id") +: lit(1).as("tag") +:
-            vsC.zip(ms).map { case (v, m) => col(v).as(m) }: _*)
-        val aggs =
-          ms.map(m => bit_or(when(col("tag") === 0, col(m)).otherwise(0L)).as(s"a_$m")) ++
-          ms.map(m => bit_or(when(col("tag") === 1, col(m)).otherwise(0L)).as(s"b_$m"))
-        val comb = msgs.unionAll(old)
-          .groupBy("id")
-          .agg(aggs.head, aggs.tail: _*)
-        val next = comb.select(
-          col("id") +:
-            (ms.zip(nsC).map { case (m, n) =>
-              col(s"a_$m").bitwiseAND(col(s"b_$m").bitwiseXOR(lit(-1L))).as(n)
-            } ++
-            ms.zip(vsC).map { case (m, v) =>
-              col(s"a_$m").bitwiseOR(col(s"b_$m")).as(v)
-            }): _*)
+        val next = superstep(state, adjacency, maskCols)
         val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, nonZero(nsC))
-        state = st
-        statesAcc :+= st
+        state = strip(st)
+        statesAcc :+= state
         frontierRows = cnt
         if (frontierRows > 0) incs :+= ((w, d, newlyProj(state)))
         onSuperstep(d, frontierRows)
       }
-      val vis = state.select(
+      // dense state carries never-visited rows (all-zero v masks) for
+      // vertices unreachable from this wave's pivots — filter them so the
+      // visited frame's row set matches the sparse form exactly
+      val vis = state.where(nonZero(vsC)).select(
         col("id") +: vsC.zip(ms).map { case (v, m) => col(v).as(m) }: _*)
       visitedOut :+= ((w, vis))
       onWaveVisited(w, vis)
     }
+    if (verts != null && vertsIn == null) graft.core.Materializer.unpersistCheckpoint(verts)
     Visit(idx, ms, incs, visitedOut, statesAcc)
   }
 
@@ -193,8 +249,9 @@ object BitsetBfs {
       maxIter: Int = 256,
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
-      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): Visit =
-    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
+      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
+      verts: DataFrame = null): Visit =
+    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts)
 
   /** @param adjacency output of Graph.adjacency over SYMMETRIZED edges,
     *                  persisted by the caller.
@@ -216,9 +273,10 @@ object BitsetBfs {
       maxIter: Int = 256,
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
-      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
+      verts: DataFrame = null): DataFrame = {
 
-    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited)
+    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts)
     val ms = raw.maskNames
 
     if (raw.increments.isEmpty)
@@ -265,9 +323,10 @@ object BitsetBfs {
       maxIter: Int = 256,
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
-      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
+      verts: DataFrame = null): DataFrame = {
 
-    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited))
+    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts))
   }
 
   /** Per-pivot harmonic from a completed [[Visit]] (see the other overload). */

@@ -84,7 +84,8 @@ object Chechik {
     val maxr =
       if (forceBitset.getOrElse(useBitset(nPiv, n))) {
         val v = BitsetBfs.visit(spark, adjacency, p,
-          maskCols = maskColsFor(nPiv), onSuperstep = onSuperstep)
+          maskCols = maskColsFor(nPiv), onSuperstep = onSuperstep,
+          verts = verts)
         val divisors = BitsetBfs.farness(v)
           .where(col("farness") > 0)
           .select(col("id").as("pivot"), col("farness").cast("double").as("div"))
@@ -146,7 +147,8 @@ object Chechik {
       if (useBitset(sampleSize, n)) {
         val vSample = BitsetBfs.visit(spark, adjacency,
           sample.select(col("id").as("pivot")),
-          maskCols = maskColsFor(sampleSize), onSuperstep = countStep)
+          maskCols = maskColsFor(sampleSize), onSuperstep = countStep,
+          verts = verts)
         val out = BitsetBfs.reverseSum(
             vSample, sample.select(col("id").as("pivot"), col("p").as("div")))
           .select(col("id"), col("value").as("apxF"))
@@ -187,8 +189,11 @@ object Chechik {
       // wave-packed visit, O(n·maskCols) rows/superstep, not O(batch·n)
       val (exactF, releaseBatch) =
         if (useBitset(batch, n)) {
+          // the shared dense `verts` frame saves an n-row distinct +
+          // checkpoint per batch — the loop runs one visit per batch
           val vb = BitsetBfs.visit(spark, adjacency, batchIds,
-            maskCols = maskColsFor(batch), onSuperstep = countStep)
+            maskCols = maskColsFor(batch), onSuperstep = countStep,
+            verts = verts)
           (BitsetBfs.farness(vb).select(col("id"), col("farness")),
             () => vb.release())
         } else

