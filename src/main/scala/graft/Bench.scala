@@ -409,7 +409,11 @@ object Bench {
     // allows (round 2 passed at 43:42), with the post-leg partial emit as
     // the backstop if the host is slow
     val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2100").toDouble
-    val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "2").toInt
+    // 1 partition per core: the same-session MultProbe A/B measured 2× as
+    // ~10% slower at BOTH leg core counts (map-side combine dedups less per
+    // partition), and the full-bench A/B confirmed it end to end — headline
+    // total 151.8 s (2×) → 118.7 s (1×), PageRank-to-1e-6 1.74× faster
+    val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val loCores = 2
     val hiCores = 8
     val mainCores = 32
