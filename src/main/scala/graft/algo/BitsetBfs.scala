@@ -144,18 +144,38 @@ object BitsetBfs {
     val nsC = (0 until maskCols).map(j => s"n$j") // state: newly-set bits
     val vsC = (0 until maskCols).map(j => s"v$j") // state: visited bits
 
-    // deterministic pivot numbering: idx → (wave, column, bit). Distributed
-    // range minting — the pivot set is P rows today but the Chechik sample
-    // at web scale is K·E[λ] ≈ ln(n)/ε² · E[λ] · n rows, too big for a
-    // single-partition window.
-    val idx = graft.core.Rank.globalRank(
-        pivots.select(col("pivot").cast("long").as("pivot")).distinct(),
-        "idx", col("pivot"))
-      .withColumn("wave", (col("idx") / waveBits).cast("int"))
-      .withColumn("mcol", ((col("idx") % waveBits) / 64).cast("int"))
-      .withColumn("mbit", (col("idx") % 64).cast("int"))
-      .localCheckpoint(true)
-    val nWaves = idx.agg(coalesce(max("wave"), lit(-1))).head().getInt(0) + 1
+    // deterministic pivot numbering: idx → (wave, column, bit), ascending
+    // pivot id. Two shapes with identical output:
+    //  - small-P fast path (P ≤ 64k): ONE job — collect the distinct pivot
+    //    ids (bounded: ≤ 0.5 MB of longs), number on the driver, hand the
+    //    loop a local relation. A visit previously paid ~4 driver-gapped
+    //    init jobs (rank's partition-count collect, the idx checkpoint, the
+    //    nWaves aggregate) before its first superstep — per-visit fixed cost
+    //    that a Chechik certification run re-pays every batch and that the
+    //    scaling legs can't parallelize away (JobProbe: ~5 s of init
+    //    jobs+gaps per leg at 8 cores, core-count-independent).
+    //  - large-P path: distributed range minting — the Chechik sample at
+    //    web scale is K·E[λ] ≈ ln(n)/ε² · E[λ] · n rows, too big to collect.
+    val smallPivotCap = 65536
+    val distinctPivots = pivots.select(col("pivot").cast("long").as("pivot")).distinct()
+    val collected = distinctPivots.limit(smallPivotCap + 1).collect()
+    val (idx, nWaves) =
+      if (collected.length <= smallPivotCap) {
+        val ids = collected.map(_.getLong(0)).sorted
+        val sess = spark
+        import sess.implicits._
+        val local = ids.toSeq.zipWithIndex.map { case (p, i) =>
+          (p, i.toLong, (i / waveBits).toInt, ((i % waveBits) / 64).toInt, (i % 64).toInt)
+        }.toDF("pivot", "idx", "wave", "mcol", "mbit")
+        (local, if (ids.isEmpty) 0 else ((ids.length - 1) / waveBits).toInt + 1)
+      } else {
+        val ranked = graft.core.Rank.globalRank(distinctPivots, "idx", col("pivot"))
+          .withColumn("wave", (col("idx") / waveBits).cast("int"))
+          .withColumn("mcol", ((col("idx") % waveBits) / 64).cast("int"))
+          .withColumn("mbit", (col("idx") % 64).cast("int"))
+          .localCheckpoint(true)
+        (ranked, ranked.agg(coalesce(max("wave"), lit(-1))).head().getInt(0) + 1)
+      }
 
     def nonZero(cols: Seq[String]): Column = nonZeroCols(cols)
     def newlyProj(state: DataFrame): DataFrame =
