@@ -128,6 +128,15 @@ object BitsetBfs {
         }): _*)
   }
 
+  /** Supersteps materialized per job on chain-safe strategies (see
+    * [[Materializer.chainSafe]]): 4 amortizes the ~0.2-0.3 s serial driver
+    * gap per job over four supersteps without holding more intermediate
+    * state than the eager loop already keeps (window = 0 keeps everything
+    * until the visit's aggregates run regardless). Same-session A/B at 2 and
+    * 8 cores selects the value — override per call for probes/specs.
+    */
+  val DefaultChain = 4
+
   private def waves(
       spark: SparkSession,
       adjacency: DataFrame,
@@ -137,7 +146,8 @@ object BitsetBfs {
       mat: Materializer,
       onSuperstep: (Int, Long) => Unit,
       onWaveVisited: (Int, DataFrame) => Unit,
-      vertsIn: DataFrame): Visit = {
+      vertsIn: DataFrame,
+      chain: Int): Visit = {
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
@@ -235,16 +245,63 @@ object BitsetBfs {
       incs :+= ((w, 0, newlyProj(state)))
       var d = 0
       var frontierRows = rows0
+      val chainLen = if (mat.chainSafe) math.max(1, chain) else 1
 
       while (frontierRows > 0 && d < maxIter) {
-        d += 1
-        val next = superstep(state, adjacency, maskCols)
-        val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, nonZero(nsC))
-        state = strip(st)
-        statesAcc :+= state
-        frontierRows = cnt
-        if (frontierRows > 0) incs :+= ((w, d, newlyProj(state)))
-        onSuperstep(d, frontierRows)
+        val u = math.min(chainLen, maxIter - d)
+        if (u <= 1) {
+          // eager path: one lazy-checkpoint-plus-filtered-count job per
+          // superstep (also the DirMaterializer path, which wants the real
+          // frontier count in each iteration's resume metadata)
+          d += 1
+          val next = superstep(state, adjacency, maskCols)
+          val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, nonZero(nsC))
+          state = strip(st)
+          statesAcc :+= state
+          frontierRows = cnt
+          if (frontierRows > 0) incs :+= ((w, d, newlyProj(state)))
+          onSuperstep(d, frontierRows)
+        } else {
+          // chained path: build u supersteps LAZILY (each localCheckpoint
+          // truncates the plan immediately but materializes on first use),
+          // then ONE union-multicount job computes the whole chain — the
+          // stage graph covers all u message exchanges, each intermediate
+          // state persists the first time a stage computes it (later
+          // references hit its checkpoint blocks) — and returns every
+          // substep's exact frontier count. u supersteps now cost ONE job
+          // submission + driver roundtrip instead of u: JobProbe measured
+          // the per-superstep driver gap at ~0.2-0.3 s, serial and
+          // core-count-independent — precisely the term that caps the
+          // N→4N scaling legs.
+          var built = Vector.empty[DataFrame]
+          var s = state
+          for (k <- 1 to u) {
+            val next = superstep(s, adjacency, maskCols)
+            s = strip(mat.iterateDeferred(next, d + k, -1.0))
+            built :+= s
+          }
+          val counts = built.zipWithIndex
+            .map { case (st, i) => st.where(nonZero(nsC)).select(lit(i + 1).as("k")) }
+            .reduce(_ unionAll _)
+            .groupBy("k").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          statesAcc ++= built
+          // report supersteps up to and including the first empty frontier —
+          // identical telemetry to the eager loop (counts are monotone to
+          // zero within a chain: an empty frontier sends no messages)
+          var k = 1
+          var stop = false
+          while (k <= u && !stop) {
+            val cnt = counts.getOrElse(k, 0L)
+            if (cnt > 0) incs :+= ((w, d + k, newlyProj(built(k - 1))))
+            onSuperstep(d + k, cnt)
+            frontierRows = cnt
+            if (cnt == 0) stop = true
+            k += 1
+          }
+          d += u
+          state = built.last
+        }
       }
       // dense state carries never-visited rows (all-zero v masks) for
       // vertices unreachable from this wave's pivots — filter them so the
@@ -270,8 +327,9 @@ object BitsetBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
-      verts: DataFrame = null): Visit =
-    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts)
+      verts: DataFrame = null,
+      chain: Int = DefaultChain): Visit =
+    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts, chain)
 
   /** @param adjacency output of Graph.adjacency over SYMMETRIZED edges,
     *                  persisted by the caller.
@@ -294,9 +352,10 @@ object BitsetBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
-      verts: DataFrame = null): DataFrame = {
+      verts: DataFrame = null,
+      chain: Int = DefaultChain): DataFrame = {
 
-    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts)
+    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts, chain)
     val ms = raw.maskNames
 
     if (raw.increments.isEmpty)
@@ -344,9 +403,10 @@ object BitsetBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
-      verts: DataFrame = null): DataFrame = {
+      verts: DataFrame = null,
+      chain: Int = DefaultChain): DataFrame = {
 
-    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts))
+    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts, chain))
   }
 
   /** Per-pivot harmonic from a completed [[Visit]] (see the other overload). */

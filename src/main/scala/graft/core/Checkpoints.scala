@@ -82,6 +82,18 @@ trait Materializer {
   def iterateDeferred(df: DataFrame, iter: Int, metric: Double): DataFrame =
     iterate(df, iter, metric)
 
+  /** Whether several [[iterateDeferred]] frames may be CHAINED — each built
+    * over the previous — with no intervening action, so one downstream job
+    * materializes them all (BFS superstep unrolling: U supersteps share one
+    * job's stage graph instead of paying U job submissions + driver gaps,
+    * the core-count-independent serial cost that caps N→4N scaling).
+    * False by default: `LocalMaterializer` with an eviction window could
+    * evict a not-yet-materialized frame mid-chain (forfeiting its
+    * checkpoint), and `DirMaterializer` writes eagerly with a per-iteration
+    * convergence metric the chain can't know yet.
+    */
+  def chainSafe: Boolean = false
+
   /** Previously completed increments (iter → frame), ascending, for resume. */
   def resumeIncrements(): Seq[(Int, DataFrame)] = Seq.empty
 
@@ -140,6 +152,12 @@ final class LocalMaterializer(window: Int = 0) extends Materializer {
     pending = Some(out)
     out
   }
+
+  /** Chaining deferred frames is safe only without an eviction window: with
+    * one, the window could unpersist a frame the chain has not yet
+    * materialized, silently forfeiting its checkpoint (see trait scaladoc).
+    */
+  override def chainSafe: Boolean = window == 0
 }
 
 final class DirMaterializer(spark: SparkSession, dir: String) extends Materializer {

@@ -167,6 +167,28 @@ class AlgoSpec extends SparkTestBase {
     assert(bitsAll === rowsAll)
   }
 
+  test("chained supersteps: identical results and telemetry to the eager loop") {
+    // long path ⇒ many supersteps; chain=4 chunks overshoot past the empty
+    // frontier on the final chunk — results and reported (step, count)
+    // telemetry must still match the eager loop exactly (counts within a
+    // chunk are monotone to zero: an empty frontier sends no messages)
+    val path = (0L until 29L).map(i => i -> (i + 1))
+    val adj = adjOf(path)
+    val pivots = Seq(0L, 29L).toDF("pivot")
+    def leg(chain: Int) = {
+      var tel = Vector.empty[(Int, Long)]
+      val rows = BitsetBfs.run(spark, adj, pivots, maskCols = 1,
+        onSuperstep = (d, c) => tel :+= ((d, c)), chain = chain)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      (rows, tel)
+    }
+    val (eagerRows, eagerTel) = leg(1)
+    val (chainRows, chainTel) = leg(4)
+    assert(chainRows === eagerRows)
+    assert(chainTel === eagerTel)
+    assert(eagerTel.last._2 === 0L) // both observed the converged frontier
+  }
+
   test("bitset farness + reverse sum/max histograms match row-BFS accumulations") {
     val edges = erGraph(70, 0.06, seed = 13)
     val adj = adjOf(edges)
