@@ -128,14 +128,13 @@ object BitsetBfs {
         }): _*)
   }
 
-  /** Supersteps materialized per job on chain-safe strategies (see
-    * [[Materializer.chainSafe]]): 4 amortizes the ~0.2-0.3 s serial driver
-    * gap per job over four supersteps without holding more intermediate
-    * state than the eager loop already keeps (window = 0 keeps everything
-    * until the visit's aggregates run regardless). Same-session A/B at 2 and
-    * 8 cores selects the value — override per call for probes/specs.
+  /** Supersteps materialized per job on chain-capable strategies (see
+    * [[Materializer.chainCapacity]]). BFS visit state is accumulating
+    * (window = 0 keeps everything until the visit's aggregates run), so
+    * chaining holds no more intermediate state than the eager loop already
+    * keeps. Override per call for probes/specs.
     */
-  val DefaultChain = 4
+  val DefaultChain: Int = Materializer.DefaultChain
 
   private def waves(
       spark: SparkSession,
@@ -245,7 +244,7 @@ object BitsetBfs {
       incs :+= ((w, 0, newlyProj(state)))
       var d = 0
       var frontierRows = rows0
-      val chainLen = if (mat.chainSafe) math.max(1, chain) else 1
+      val chainLen = math.max(1, math.min(chain, mat.chainCapacity))
 
       while (frontierRows > 0 && d < maxIter) {
         val u = math.min(chainLen, maxIter - d)

@@ -28,9 +28,10 @@ object PageRank {
       damping: Double = 0.85,
       maxIter: Int = 100,
       tol: Double = 1e-6,
-      mat: Materializer = new LocalMaterializer(window = 3),
+      mat: Materializer = new LocalMaterializer(window = Materializer.DefaultChain),
       vertices: Option[DataFrame] = None,
-      onSuperstep: (Int, Double) => Unit = (_, _) => ()): Result = {
+      onSuperstep: (Int, Double) => Unit = (_, _) => (),
+      chain: Int = Materializer.DefaultChain): Result = {
 
     val adjSrcs = adjacency.select(col("src").as("id")).distinct()
     val verts = vertices.getOrElse(adjSrcs).localCheckpoint(true)
@@ -49,42 +50,85 @@ object PageRank {
       (0, mat.iterate(verts.select(col("id"), lit(nInv).as("pr")), 0, Double.MaxValue))
     }
 
-    var delta = Double.MaxValue
-    while (iter < maxIter && (tol <= 0 || delta > tol)) {
-      iter += 1
-      val joined = ranks.join(adjacency, ranks("id") === adjacency("src"))
-      val msgs = joined
+    // STATS DISCIPLINE: localCheckpoint carries originStats into the new
+    // LogicalRDD and join sizeInBytes MULTIPLY — a superstep referencing
+    // the previous state twice squares the stats each iteration (BigInt
+    // blowup: Catalyst ends up multiplying million-digit numbers). Keep
+    // exactly ONE reference to `prev` in the checkpointed plan; the L∞
+    // delta joins two already-checkpointed frames and yields a scalar, so
+    // its (large) join stats die with the job.
+    def step(prev: DataFrame, danglingMass: Double): DataFrame = {
+      val msgs = prev.join(adjacency, prev("id") === adjacency("src"))
         .select(explode(col("neighbors")).as("id"), (col("pr") / col("degree")).as("w"))
         .groupBy("id")
         .agg(sum("w").as("msg"))
-      val dangling =
-        if (!hasDangling) 0.0
-        else ranks.join(danglingIds, Seq("id"), "left_semi")
-          .agg(coalesce(sum("pr"), lit(0.0)))
-          .head().getDouble(0)
-      // STATS DISCIPLINE: localCheckpoint carries originStats into the new
-      // LogicalRDD and join sizeInBytes MULTIPLY — a superstep referencing
-      // the previous state twice squares the stats each iteration (BigInt
-      // blowup: Catalyst ends up multiplying million-digit numbers). Keep
-      // exactly ONE reference to `ranks` in the checkpointed plan; the L∞
-      // delta joins two already-checkpointed frames and yields a scalar, so
-      // its (large) join stats die with the job.
-      val newRanks = verts
+      verts
         .join(msgs, Seq("id"), "left")
         .select(
           col("id"),
           (lit((1 - damping) * nInv) +
-            lit(damping) * (coalesce(col("msg"), lit(0.0)) + lit(dangling * nInv))).as("pr"))
-      // deferred checkpoint: the delta aggregate below is the materializing
-      // action — one job per superstep instead of checkpoint + delta
-      val state = mat.iterateDeferred(newRanks, iter, -1.0)
-      delta =
-        if (tol <= 0) Double.MaxValue
-        else state.join(ranks.select(col("id"), col("pr").as("prevPr")), "id")
-          .agg(max(abs(col("pr") - col("prevPr"))))
-          .head().getDouble(0)
-      ranks = state
-      onSuperstep(iter, delta)
+            lit(damping) * (coalesce(col("msg"), lit(0.0)) + lit(danglingMass * nInv))).as("pr"))
+    }
+
+    // Chained loop (see Materializer.chainCapacity): u supersteps built as
+    // lazy checkpoints over each other, then ONE union job computes every
+    // substep's L∞ delta — u message exchanges per job submission + driver
+    // roundtrip instead of one each. Requires tol > 0 (the fixed-iteration
+    // oracle mode never runs a per-step job at all) and no dangling mass
+    // (its redistribution is a per-step SCALAR the chain can't know lazily;
+    // never present after symmetrize). Convergence stops at the FIRST
+    // substep with delta ≤ tol and keeps THAT state — results and reported
+    // (iter, delta) telemetry identical to the eager loop; overshoot
+    // substeps are computed but discarded.
+    val chainLen =
+      if (tol <= 0 || hasDangling) 1
+      else math.max(1, math.min(chain, mat.chainCapacity))
+
+    var delta = Double.MaxValue
+    while (iter < maxIter && (tol <= 0 || delta > tol)) {
+      val u = math.min(chainLen, maxIter - iter)
+      if (u <= 1) {
+        iter += 1
+        val dangling =
+          if (!hasDangling) 0.0
+          else ranks.join(danglingIds, Seq("id"), "left_semi")
+            .agg(coalesce(sum("pr"), lit(0.0)))
+            .head().getDouble(0)
+        // deferred checkpoint: the delta aggregate below is the materializing
+        // action — one job per superstep instead of checkpoint + delta
+        val state = mat.iterateDeferred(step(ranks, dangling), iter, -1.0)
+        delta =
+          if (tol <= 0) Double.MaxValue
+          else state.join(ranks.select(col("id"), col("pr").as("prevPr")), "id")
+            .agg(max(abs(col("pr") - col("prevPr"))))
+            .head().getDouble(0)
+        ranks = state
+        onSuperstep(iter, delta)
+      } else {
+        var built = Vector.empty[DataFrame]
+        var prev = ranks
+        for (k <- 1 to u) {
+          prev = mat.iterateDeferred(step(prev, 0.0), iter + k, -1.0)
+          built :+= prev
+        }
+        val deltas = built.zipWithIndex.map { case (st, i) =>
+          val before = if (i == 0) ranks else built(i - 1)
+          st.join(before.select(col("id"), col("pr").as("prevPr")), "id")
+            .agg(max(abs(col("pr") - col("prevPr"))).as("d"))
+            .select(lit(i + 1).as("k"), col("d"))
+        }.reduce(_ unionAll _)
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        var k = 1
+        var stop = false
+        while (k <= u && !stop) {
+          iter += 1
+          delta = deltas(k)
+          ranks = built(k - 1)
+          onSuperstep(iter, delta)
+          if (delta <= tol) stop = true
+          k += 1
+        }
+      }
     }
     Result(ranks, iter, delta)
   }

@@ -29,6 +29,14 @@ import scala.collection.mutable
   *     per-partition lineage unit a resumed run re-reads.
   */
 object Materializer {
+  /** Default supersteps per materializing job for chain-capable loops
+    * (BitsetBfs, PageRank): 4 amortizes the ~0.2-0.3 s serial driver gap
+    * per job submission (measured by graft.tools.JobProbe, core-count-
+    * independent) over four supersteps; same-session A/B (ChainProbe)
+    * selects the value. Loops clamp it to [[Materializer.chainCapacity]].
+    */
+  val DefaultChain = 4
+
   /** Free the storage behind a `localCheckpoint`'d frame. `Dataset.unpersist`
     * only reaches CacheManager entries (persist/cache); a checkpoint's
     * storage is RDD-level, so walk the plan for its LogicalRDD nodes and
@@ -82,17 +90,22 @@ trait Materializer {
   def iterateDeferred(df: DataFrame, iter: Int, metric: Double): DataFrame =
     iterate(df, iter, metric)
 
-  /** Whether several [[iterateDeferred]] frames may be CHAINED — each built
-    * over the previous — with no intervening action, so one downstream job
-    * materializes them all (BFS superstep unrolling: U supersteps share one
+  /** How many [[iterateDeferred]] frames may be CHAINED — each built over
+    * the previous — with no intervening action, so one downstream job
+    * materializes them all (superstep unrolling: U supersteps share one
     * job's stage graph instead of paying U job submissions + driver gaps,
     * the core-count-independent serial cost that caps N→4N scaling).
-    * False by default: `LocalMaterializer` with an eviction window could
-    * evict a not-yet-materialized frame mid-chain (forfeiting its
-    * checkpoint), and `DirMaterializer` writes eagerly with a per-iteration
-    * convergence metric the chain can't know yet.
+    * 1 by default (no chaining): `DirMaterializer` writes eagerly with a
+    * per-iteration convergence metric the chain can't know yet, and
+    * `LocalMaterializer` with an eviction window is only safe up to the
+    * window length — a longer chain could evict a frame the chunk's job
+    * still needs (either not yet materialized, or the chunk input whose
+    * lineage was truncated), silently forfeiting its checkpoint.
     */
-  def chainSafe: Boolean = false
+  def chainCapacity: Int = 1
+
+  /** Whether [[iterateDeferred]] frames may be chained at all. */
+  final def chainSafe: Boolean = chainCapacity > 1
 
   /** Previously completed increments (iter → frame), ascending, for resume. */
   def resumeIncrements(): Seq[(Int, DataFrame)] = Seq.empty
@@ -153,11 +166,14 @@ final class LocalMaterializer(window: Int = 0) extends Materializer {
     out
   }
 
-  /** Chaining deferred frames is safe only without an eviction window: with
-    * one, the window could unpersist a frame the chain has not yet
-    * materialized, silently forfeiting its checkpoint (see trait scaladoc).
+  /** Unbounded without an eviction window. With one, a chunk's materializing
+    * job needs at most `window` frames alive in the window simultaneously
+    * (the chunk's input state + its u−1 flushed intermediates, u ≤ window;
+    * the newest frame is still pending): eviction is oldest-first, so only
+    * frames from completed chunks — materialized and no longer referenced —
+    * ever reach the dequeue (see trait scaladoc).
     */
-  override def chainSafe: Boolean = window == 0
+  override def chainCapacity: Int = if (window == 0) Int.MaxValue else window
 }
 
 final class DirMaterializer(spark: SparkSession, dir: String) extends Materializer {

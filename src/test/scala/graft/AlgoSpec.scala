@@ -25,6 +25,29 @@ class AlgoSpec extends SparkTestBase {
     exp.foreach { case (v, e) => assert(approxEqual(got(v), e), s"pr($v): ${got(v)} vs $e") }
   }
 
+  test("pagerank chained supersteps: identical results and telemetry to the eager loop") {
+    // convergence lands mid-chunk (first delta ≤ tol picked INSIDE a chain
+    // of 4): ranks, iteration count, final delta and per-step (iter, delta)
+    // telemetry must all match the eager loop bit-for-bit — the chained
+    // path computes the same recurrence, just u supersteps per job.
+    val adj = adjOf(erGraph(60, 0.08, seed = 4))
+    def leg(chain: Int) = {
+      var tel = Vector.empty[(Int, Double)]
+      val res = PageRank.run(spark, adj, maxIter = 200, tol = 1e-6,
+        onSuperstep = (i, d) => tel :+= ((i, d)), chain = chain)
+      val ranks = res.ranks.collect()
+        .map(x => x.getAs[Long]("id") -> x.getAs[Double]("pr")).toMap
+      (ranks, res.iterations, res.finalDelta, tel)
+    }
+    val (eagerRanks, eagerIters, eagerDelta, eagerTel) = leg(1)
+    val (chainRanks, chainIters, chainDelta, chainTel) = leg(4)
+    assert(chainIters === eagerIters)
+    assert(chainDelta === eagerDelta)
+    assert(chainTel === eagerTel)
+    assert(chainRanks === eagerRanks)
+    assert(eagerIters % 4 !== 0, "want convergence mid-chunk to exercise overshoot")
+  }
+
   test("components: exact labels on twocomp and disconnected ER") {
     val l1 = Components.run(spark, adjOf(twocomp)).labels
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
