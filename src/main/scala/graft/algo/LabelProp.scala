@@ -21,7 +21,8 @@ object LabelProp {
       spark: SparkSession,
       adjacency: DataFrame,
       rounds: Int,
-      mat: Materializer = new LocalMaterializer(window = 3)): DataFrame = {
+      mat: Materializer = new LocalMaterializer(window = Materializer.DefaultChain),
+      chain: Int = Materializer.DefaultChain): DataFrame = {
 
     var (iter, labels) = mat.resumeIncrements().lastOption.getOrElse {
       val init = adjacency.select(col("src").as("id")).distinct()
@@ -29,26 +30,44 @@ object LabelProp {
       (0, mat.iterate(init, 0, -1.0))
     }
 
-    while (iter < rounds) {
-      iter += 1
-      val msgs = labels
-        .join(adjacency, labels("id") === adjacency("src"))
+    // every vertex of the adjacency has ≥1 neighbor (vertex set = its
+    // sources, symmetrized), so winners covers ALL vertices and no
+    // keep-old-label fallback join is needed — which also keeps the
+    // superstep single-reference in `labels` (STATS DISCIPLINE: see
+    // PageRank — a second multiplicative reference squares inherited
+    // localCheckpoint stats every round).
+    // max_by on struct(c, -label) = most frequent label, ties → smallest
+    // label (labels are unique per group, so the ordering value is unique
+    // and the pick deterministic): a hash aggregate, not the round-2
+    // row_number window whose per-group sort was an extra per-round sort.
+    def step(prev: DataFrame): DataFrame = {
+      val msgs = prev
+        .join(adjacency, prev("id") === adjacency("src"))
         .select(explode(col("neighbors")).as("id"), col("label"))
-      val counts = msgs.groupBy("id", "label").agg(count(lit(1)).as("c"))
-      // every vertex of the adjacency has ≥1 neighbor (vertex set = its
-      // sources, symmetrized), so winners covers ALL vertices and no
-      // keep-old-label fallback join is needed — which also keeps the
-      // superstep single-reference in `labels` (STATS DISCIPLINE: see
-      // PageRank — a second multiplicative reference squares inherited
-      // localCheckpoint stats every round).
-      // max_by on struct(c, -label) = most frequent label, ties → smallest
-      // label (labels are unique per group, so the ordering value is unique
-      // and the pick deterministic): a hash aggregate, not the round-2
-      // row_number window whose per-group sort was an extra per-round sort.
-      val next = counts
+      msgs.groupBy("id", "label").agg(count(lit(1)).as("c"))
         .groupBy("id")
         .agg(max_by(col("label"), struct(col("c"), negate(col("label")))).as("label"))
-      labels = mat.iterate(next, iter, -1.0)
+    }
+
+    // Rounds are FIXED (no per-round convergence decision), so chaining is
+    // unconditional: build u rounds as lazy checkpoints over each other and
+    // let ONE count() materialize the chunk — each intermediate persists the
+    // first time the chunk job's stages compute it (see
+    // Materializer.chainCapacity) — amortizing the job-submission driver gap
+    // over u rounds.
+    val chainLen = math.max(1, math.min(chain, mat.chainCapacity))
+    while (iter < rounds) {
+      val u = math.min(chainLen, rounds - iter)
+      if (u <= 1) {
+        iter += 1
+        labels = mat.iterate(step(labels), iter, -1.0)
+      } else {
+        var s = labels
+        for (k <- 1 to u) s = mat.iterateDeferred(step(s), iter + k, -1.0)
+        s.count()
+        labels = s
+        iter += u
+      }
     }
     labels
   }

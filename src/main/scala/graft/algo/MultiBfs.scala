@@ -1,7 +1,7 @@
 package graft.algo
 
 import graft.core.{Materializer, LocalMaterializer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Level-synchronous multi-source BFS.
@@ -55,8 +55,9 @@ object MultiBfs {
       adjacency: DataFrame,
       sources: DataFrame,
       maxIter: Int = 256,
-      mat: Materializer = new LocalMaterializer(window = 2),
-      onSuperstep: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      mat: Materializer = new LocalMaterializer(window = Materializer.DefaultChain),
+      onSuperstep: (Int, Long) => Unit = (_, _) => (),
+      chain: Int = Materializer.DefaultChain): DataFrame = {
 
     val resumed = mat.resumeIncrements().lastOption
     var (d, state, frontierRows) = resumed match {
@@ -73,22 +74,65 @@ object MultiBfs {
         (0, st, n)
     }
 
-    while (frontierRows > 0 && d < maxIter) {
-      d += 1
-      val frontier = state.where(col("isNew"))
+    // single-reference superstep (STATS DISCIPLINE: see PageRank scaladoc)
+    def step(prev: DataFrame): DataFrame = {
+      val frontier = prev.where(col("isNew"))
       val msgs = frontier
         .join(adjacency, frontier("id") === adjacency("src"))
         .select(col("pivot"), explode(col("neighbors")).as("id"),
           (col("dist") + 1).as("dist"), lit(true).as("isNew"))
-      val next = state
+      prev
         .select(col("pivot"), col("id"), col("dist"), lit(false).as("isNew"))
         .unionAll(msgs)
         .groupBy("pivot", "id")
         .agg(min("dist").as("dist"), bool_and(col("isNew")).as("isNew"))
-      val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, col("isNew"))
-      state = st
-      frontierRows = cnt
-      onSuperstep(d, frontierRows)
+    }
+
+    // Chained loop (see Materializer.chainCapacity): u supersteps built as
+    // lazy checkpoints over each other, ONE union-multicount job materializes
+    // them all and returns every substep's exact frontier count — u message
+    // exchanges per job submission + driver roundtrip instead of one each.
+    // An empty frontier sends no messages, so counts are monotone to zero
+    // within a chunk; the loop keeps the state at the FIRST zero count and
+    // reports (d, count) telemetry identical to the eager loop (overshoot
+    // substeps are identity maps on (pivot, id, dist) and are discarded).
+    val chainLen = math.max(1, math.min(chain, mat.chainCapacity))
+
+    while (frontierRows > 0 && d < maxIter) {
+      val u = math.min(chainLen, maxIter - d)
+      if (u <= 1) {
+        // eager path (also DirMaterializer, which wants the real frontier
+        // count in each iteration's resume metadata): one lazy-checkpoint-
+        // plus-filtered-count job per superstep
+        d += 1
+        val (st, cnt) = mat.iterateCountedWhere(step(state), d, frontierRows.toDouble, col("isNew"))
+        state = st
+        frontierRows = cnt
+        onSuperstep(d, frontierRows)
+      } else {
+        var built = Vector.empty[DataFrame]
+        var s = state
+        for (k <- 1 to u) {
+          s = mat.iterateDeferred(step(s), d + k, -1.0)
+          built :+= s
+        }
+        val counts = built.zipWithIndex
+          .map { case (st, i) => st.where(col("isNew")).select(lit(i + 1).as("k")) }
+          .reduce(_ unionAll _)
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var k = 1
+        var stop = false
+        while (k <= u && !stop) {
+          val cnt = counts.getOrElse(k, 0L)
+          state = built(k - 1)
+          frontierRows = cnt
+          onSuperstep(d + k, cnt)
+          if (cnt == 0) stop = true
+          k += 1
+        }
+        d += k - 1
+      }
     }
     state.select("pivot", "id", "dist")
   }

@@ -78,6 +78,35 @@ class AlgoSpec extends SparkTestBase {
     assert(got === exp)
   }
 
+  test("label propagation chained rounds: identical labels to the eager loop") {
+    // rounds = 6 with chain = 4 exercises a full chunk plus a partial one
+    val adj = adjOf(erGraph(50, 0.08, seed = 6))
+    def leg(chain: Int) = LabelProp.run(spark, adj, rounds = 6, chain = chain)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(leg(4) === leg(1))
+  }
+
+  test("row-bfs chained supersteps: identical dists and telemetry to the eager loop") {
+    // 29-hop path from both endpoints: BFS depth 29 ends mid-chunk at
+    // chain = 4 — dist rows and per-step (d, frontier-count) telemetry must
+    // match the eager loop exactly, including the observed zero frontier
+    val path = (0L until 29L).map(i => i -> (i + 1))
+    val adj = adjOf(path)
+    val pivots = Seq(0L, 29L).toDF("pivot")
+    def leg(chain: Int) = {
+      var tel = Vector.empty[(Int, Long)]
+      val rows = MultiBfs.run(spark, adj, pivots,
+        onSuperstep = (d, c) => tel :+= ((d, c)), chain = chain)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      (rows, tel)
+    }
+    val (eagerRows, eagerTel) = leg(1)
+    val (chainRows, chainTel) = leg(4)
+    assert(chainRows === eagerRows)
+    assert(chainTel === eagerTel)
+    assert(eagerTel.last._2 === 0L)
+  }
+
   test("triangles: k4 has 4 global, 3 per vertex; matches oracle on ER") {
     import spark.implicits._
     val canonK4 = Graph.canonicalize(k4.toDF("src", "dst"))
