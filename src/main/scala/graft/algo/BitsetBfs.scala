@@ -8,61 +8,104 @@ import org.apache.spark.sql.functions._
   *
   * [[MultiBfs.run]] carries one row per (pivot, vertex): P pivots over an
   * m-arc graph shuffle O(P·m) message rows per full visit. This variant
-  * packs pivots into Long bitmasks — `maskCols` columns of 64 bits each, so
-  * up to 64·maskCols pivots advance in ONE wave whose per-superstep message
-  * volume is Σ deg(frontier) ROWS (mask payload, not row fan-out): the
-  * shuffle is smaller by up to the pivot count. More pivots than a wave
-  * holds → sequential waves.
+  * packs pivots into Long bitmasks — `maskCols` Longs of 64 bits each, so up
+  * to 64·maskCols pivots advance in ONE wave — and packs VERTICES into
+  * chunks of 64: state is one row per chunk `(chunk, ns, vs)` where
+  * `ns`/`vs` are dense `array<long>` TILES of 64·maskCols elements, element
+  * `pos·maskCols + j` holding mask column j of vertex `chunk·64 + pos`
+  * (`ns` = bits newly set this superstep, `vs` = cumulative visited).
   *
   * Semantically identical to the reference's per-source BFS
-  * (GeometricCentralities.java:151-207): bit b of mask column j set on
-  * vertex v at superstep d  ⇔  d(pivot_{j·64+b}, v) = d.
+  * (GeometricCentralities.java:151-207): bit b of mask column j of vertex v
+  * set at superstep d  ⇔  d(pivot_{j·64+b}, v) = d.
   *
-  * Superstep = ONE fused job, ONE shuffle of ONLY the message rows. State is
-  * DENSE — one row per vertex, (id, n0.., v0..) where n_j are the bits newly
-  * set this superstep and v_j the cumulative visited masks — and stays
-  * hash(id)-partitioned across supersteps: the checkpoint captures the
-  * partitioning into its `LogicalRDD` and
-  * [[org.apache.spark.sql.graft.CheckpointStats.strip]] keeps it while
-  * dropping the inherited stats whose join-squaring blocked this plan shape
-  * in round 3. The superstep is then
+  * Superstep = ONE fused job, ONE shuffle whose row count is
+  * PARTITION-INDEPENDENT:
   *
-  *   msgs = frontier ⋈ adjacency → explode → groupBy(id).agg(a_j = bit_or(m_j))
-  *   state' = state ⟕ msgs:  n_j = a_j & ~v_j,  v_j = v_j | a_j
+  *   frontier = explode state tiles → (chunk, pos, m0..)  [no shuffle]
+  *   msgs     = frontier ⋈ cadj on (chunk, pos) → explode neighbors
+  *              → groupBy(dst chunk).agg(TileOr)           [THE shuffle]
+  *   state'   = state ⟕ msgs on chunk:
+  *              ns = zip_with(atile, vs, (a,v) -> a & ~v)
+  *              vs = zip_with(vs, atile, (v,a) -> v | a)   [co-partitioned]
   *
-  * where the frontier⋈adjacency join is map-side (both sides already
-  * hash-partitioned on the key, shuffled-hash build on the frontier), the
-  * groupBy's exchange is the superstep's only shuffle — Σ deg(frontier)
-  * rows, map-side bit_or combine — and the state⟕msgs merge is a
-  * co-partitioned shuffled-hash join that never moves the n state rows.
-  * (The round-3 union+groupBy form reshuffled n + Σ deg(frontier) rows per
-  * superstep at twice the aggregate width; the n-row term was pure fixed
-  * cost on every superstep past the frontier peak.) All kernels are
-  * built-in codegen'd expressions: bit_or aggregate, bitwise AND/XOR/shift,
-  * `filter(sequence(0,63), ...)` for bit explode.
+  * Everything is hash(chunk)-partitioned — the state via its stripped
+  * checkpoint ([[org.apache.spark.sql.graft.CheckpointStats.strip]] keeps
+  * `outputPartitioning` while dropping the inherited stats whose
+  * join-squaring blocked co-partitioned loops in round 3), the chunked
+  * adjacency via [[prepare]], the messages via the tile groupBy — so both
+  * joins are exchange-free shuffled-hash.
   *
-  * Two consumers:
-  *  - [[run]] explodes masks back to the (pivot, id, dist) relation — once,
-  *    after the iteration, not per superstep. O(P·n) output rows.
-  *  - [[harmonic]] never explodes: per-bit histogram aggregation
-  *    (Σ_rows ((m_j >> b) & 1)/dist, 64 sums per mask column) reduces each
-  *    increment to P scalars — ONE distributed aggregate over all waves,
-  *    unpivoted with `stack` and joined back to the pivot index, so neither
-  *    the masks nor the per-pivot sums ever pass through the driver and the
-  *    per-pivot harmonic costs O(n·maskCols) regardless of P — the 100 TB
-  *    shape of "all per-source running sums become aggregates"
-  *    (SURVEY.md §2.4 A3).
+  * WHY TILES (round-4 StageProbe finding): the per-vertex form's message
+  * aggregate keyed on id has map-side-combine output ∝ map tasks × n — at
+  * 2 vs 8 cores the 8-core leg shuffled 3× the rows (13.5M vs 4.0M per
+  * superstep at n=2M) at ~1μs/row of task time, the entire N→4N scaling
+  * gap. Tile aggregation bounds map-side output at (populated chunks ≈
+  * n/64) ROWS per map task — 64× fewer rows, and the per-row costs (hash
+  * probe, serialization, join plumbing) amortize over a 64·maskCols-element
+  * array processed in tight codegen'd/JIT loops (`zip_with`, primitive
+  * buffer aggregators). Chunk granularity (64) is the combine-vs-tile-memory
+  * trade: a map task's partial-agg map holds ≤ populated-chunks tiles
+  * (n/64 × 0.5 KB·maskCols worst case — bound map task input via
+  * `maxPartitionBytes` at larger n, or shrink chunks).
+  *
+  * Consumers never see tiles unless they want them:
+  *  - [[run]] explodes tiles back to the (pivot, id, dist) relation — once,
+  *    after the iteration. O(P·n) output rows.
+  *  - [[harmonic]]/[[farness]] aggregate the tile increments DIRECTLY —
+  *    64·maskCols counting cells per (wave, dist) via [[TileCountAgg]] over
+  *    n/64-row frames, so the per-pivot score costs O(n·maskCols/64) rows
+  *    regardless of P — the 100 TB shape of "all per-source running sums
+  *    become aggregates" (SURVEY.md §2.4 A3).
+  *  - [[reverseSum]]/[[reverseMax]] and per-wave visited frames use
+  *    [[idRows]], a lazy tile → (id, m0..) projection.
   */
 object BitsetBfs {
 
+  /** log2 of the vertex-chunk width (tile rows hold ChunkSize vertices;
+    * a chunk's tile indexes as `pos·maskCols + j`). Env-overridable for
+    * chunk-granularity A/B probes; all layouts in one JVM must agree, so it
+    * is read once.
+    */
+  private val ChunkBits = sys.env.getOrElse("GRAFT_CHUNK_BITS", "6").toInt
+  private val ChunkSize = 1 << ChunkBits
+
+  /** Chunk-keyed visit inputs, built once and reused across visits over the
+    * same graph (a Chechik certification run is one visit per batch; the
+    * bench legs build it as untimed prep like the adjacency load itself):
+    *   - `cadj`: (chunk, pos, neighbors) of each adjacency (src, slice) row,
+    *     hash(chunk)-partitioned — the frontier join side.
+    *   - `chunks`: distinct source chunks — the dense state universe.
+    * Callers that supply one own its lifecycle ([[Prep.release]]).
+    */
+  case class Prep(cadj: DataFrame, chunks: DataFrame) {
+    def release(): Unit = {
+      Materializer.unpersistCheckpoint(cadj)
+      Materializer.unpersistCheckpoint(chunks)
+    }
+  }
+
+  /** Build a [[Prep]] from `Graph.adjacency` output (src, salt?, neighbors,
+    * degree): one arcs-row repartition to hash(chunk), checkpointed.
+    */
+  def prepare(adjacency: DataFrame): Prep = {
+    val cadj = adjacency.select(
+        shiftright(col("src"), ChunkBits).as("chunk"),
+        col("src").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos"),
+        col("neighbors"))
+      .repartition(col("chunk"))
+      .localCheckpoint(true)
+    val chunks = cadj.select(col("chunk")).distinct().localCheckpoint(true)
+    Prep(cadj, chunks)
+  }
+
   /** Handle to a completed bitset visit: pivot→(wave,mcol,mbit) index map,
-    * per-superstep newly-bit mask frames (wave, dist, frame(id, m0..)) —
+    * per-superstep newly-bit TILE frames (wave, dist, frame(chunk, tile)) —
     * filtered projections of the cached per-superstep state — and per-wave
-    * final visited mask frames. Consumed by the histogram/reverse aggregates
-    * below without ever exploding to (pivot, id, dist) rows; obtain one via
-    * [[visit]] and reuse it across several aggregates (one BFS, many
-    * consumers — e.g. Chechik needs farness AND the λ ratio from the same
-    * pivot visit).
+    * final visited (id, m0..) frames. Consumed by the histogram/reverse
+    * aggregates below; obtain one via [[visit]] and reuse it across several
+    * aggregates (one BFS, many consumers — e.g. Chechik needs farness AND
+    * the λ ratio from the same pivot visit).
     */
   case class Visit(
       idx: DataFrame,
@@ -87,45 +130,78 @@ object BitsetBfs {
   private def nonZeroCols(cols: Seq[String]): Column =
     cols.map(c => col(c) =!= 0L).reduce(_ || _)
 
-  /** ONE join-form superstep over a dense hash(id)-partitioned state
-    * (id, n0.., v0..): message reduce (the superstep's only shuffle) plus the
-    * co-partitioned state⟕messages merge. Exposed package-private so
-    * PlanSpec can assert the physical shape — exactly one Exchange, no Sort,
-    * shuffled-hash joins — on the real loop plan rather than prose.
+  /** Any bit set anywhere in the tile — the frontier/visited row predicate. */
+  private def tileNonZero(tileCol: String): Column =
+    exists(col(tileCol), _ =!= 0L)
+
+  private def zerosTile(maskCols: Int): Column =
+    array_repeat(lit(0L), ChunkSize * maskCols)
+
+  /** Lazy tile → per-vertex projection: (chunk, `tileCol`) rows to
+    * (id, m0..m{mc-1}) rows for every vertex with any bit set. Chunk slots
+    * that are no real vertex carry all-zero masks and are filtered with the
+    * rest, so the row set matches the sparse per-id form exactly.
     */
-  private[graft] def superstep(state: DataFrame, adjacency: DataFrame, maskCols: Int): DataFrame = {
+  private[graft] def idRows(frame: DataFrame, tileCol: String, maskCols: Int): DataFrame = {
     val ms = (0 until maskCols).map(j => s"m$j")
-    val nsC = (0 until maskCols).map(j => s"n$j")
-    val vsC = (0 until maskCols).map(j => s"v$j")
-    val frontier = state.where(nonZeroCols(nsC))
-    // message reduce: the superstep's ONLY shuffle (Σ deg(frontier) rows,
-    // map-side bit_or combine). The frontier⋈adjacency join is
-    // co-partitioned (state hash(id) ≍ adjacency hash(src)) — shuffled-hash,
-    // built on the frontier side: stripped state stats are
-    // defaultSizeInBytes, so the hint is load-bearing (see CheckpointStats
-    // scaladoc), and SMJ would re-sort the cached adjacency every superstep.
+    frame.where(tileNonZero(tileCol))
+      .select(col("chunk"), col(tileCol).as("tile"),
+        explode(sequence(lit(0), lit(ChunkSize - 1))).as("pos"))
+      .select(
+        (col("chunk") * ChunkSize + col("pos")).as("id") +:
+          ms.zipWithIndex.map { case (m, j) =>
+            element_at(col("tile"), col("pos") * maskCols + (j + 1)).as(m)
+          }: _*)
+      .where(nonZeroCols(ms))
+  }
+
+  /** ONE tile superstep over the dense hash(chunk)-partitioned state
+    * (chunk, ns, vs) — see the object scaladoc for the shape and why.
+    * Exposed package-private so PlanSpec can assert the physical plan —
+    * exactly one Exchange, shuffled-hash joins, no Sort — on the real loop
+    * plan rather than prose.
+    */
+  private[graft] def superstep(state: DataFrame, cadj: DataFrame, maskCols: Int): DataFrame = {
+    val ms = (0 until maskCols).map(j => s"m$j")
+    // explode the frontier tiles to (chunk, pos, m0..) — in-task, no shuffle,
+    // and the loop plan is superstep-invariant (no per-superstep literals →
+    // codegen caches hit from superstep 2 on; the superstep d lives in the
+    // consumer-side `incs` tuples, never in the plan)
+    val frontier = state.where(tileNonZero("ns"))
+      .select(col("chunk"), col("ns"),
+        explode(sequence(lit(0), lit(ChunkSize - 1))).as("pos"))
+      .select(col("chunk") +: col("pos") +:
+        ms.zipWithIndex.map { case (m, j) =>
+          element_at(col("ns"), col("pos") * maskCols + (j + 1)).as(m)
+        }: _*)
+      .where(nonZeroCols(ms))
+    // frontier ⋈ cadj on (chunk, pos): both sides hash(chunk)-partitioned
+    // (key position 0 of the join), so EnsureRequirements recognizes them
+    // co-partitioned — no exchange. Shuffled-hash, built on the frontier
+    // side: stripped state stats are defaultSizeInBytes, so the hint is
+    // load-bearing (see CheckpointStats scaladoc), and SMJ would re-sort
+    // the checkpointed adjacency every superstep.
     val fr = frontier.hint("shuffle_hash")
     val msgs = fr
-      .join(adjacency, fr("id") === adjacency("src"))
-      .select(explode(col("neighbors")).as("id") +:
-        nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
-      .groupBy("id")
-      .agg(bit_or(col(ms.head)).as(s"a_${ms.head}"),
-        ms.tail.map(m => bit_or(col(m)).as(s"a_$m")): _*)
+      .join(cadj, Seq("chunk", "pos"))
+      .select(explode(col("neighbors")).as("dst") +: ms.map(col): _*)
+      .select(
+        shiftright(col("dst"), ChunkBits).as("chunk"),
+        col("dst").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos"),
+        array(ms.map(col): _*).as("masks"))
+      .groupBy("chunk")
+      .agg(org.apache.spark.sql.graft.TileAggs
+        .tileOr(col("pos"), col("masks"), maskCols, ChunkSize).as("atile"))
     // visited test + visited update, fused into the co-partitioned merge
-    // join: both sides are hash(id)-partitioned (state via its stripped
-    // checkpoint, msgs via the groupBy exchange above), so the n state rows
-    // never re-shuffle; left outer keeps the state side's partitioning for
-    // the NEXT superstep's checkpoint to capture.
-    state.join(msgs.hint("shuffle_hash"), Seq("id"), "left")
-      .select(col("id") +:
-        (ms.zip(nsC.zip(vsC)).map { case (m, (n, v)) =>
-          coalesce(col(s"a_$m"), lit(0L))
-            .bitwiseAND(col(v).bitwiseXOR(lit(-1L))).as(n)
-        } ++
-        ms.zip(vsC).map { case (m, v) =>
-          col(v).bitwiseOR(coalesce(col(s"a_$m"), lit(0L))).as(v)
-        }): _*)
+    // join (both sides hash(chunk)): two codegen'd zip_with lambdas over the
+    // tiles, left outer keeps the state side's partitioning for the NEXT
+    // superstep's checkpoint to capture. n/64 state rows never re-shuffle.
+    state.join(msgs.hint("shuffle_hash"), Seq("chunk"), "left")
+      .select(col("chunk"),
+        when(col("atile").isNull, zerosTile(maskCols))
+          .otherwise(expr("zip_with(atile, vs, (a, v) -> a & ~v)")).as("ns"),
+        when(col("atile").isNull, col("vs"))
+          .otherwise(expr("zip_with(vs, atile, (v, a) -> v | a)")).as("vs"))
   }
 
   /** Supersteps materialized per job on chain-capable strategies (see
@@ -145,24 +221,33 @@ object BitsetBfs {
       mat: Materializer,
       onSuperstep: (Int, Long) => Unit,
       onWaveVisited: (Int, DataFrame) => Unit,
-      vertsIn: DataFrame,
+      prepIn: Prep,
       chain: Int): Visit = {
+
+    // the tile aggregate's map-side hash map legitimately holds up to
+    // n/64 keys per task; the default ObjectHashAggregate fallback (128
+    // keys) would silently degrade every superstep to sort-based
+    // aggregation — sorting the raw message rows each superstep
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 22).toString)
+    // frontier ⋈ cadj joins on (chunk, pos) with BOTH sides
+    // hash(chunk)-partitioned — a key-subset co-partitioning Spark only
+    // accepts with this (conservative-by-default) flag off; without it
+    // EnsureRequirements re-exchanges both sides on (chunk, pos) every
+    // superstep, exactly the n-row reshuffle the tile layout removes
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
-    val nsC = (0 until maskCols).map(j => s"n$j") // state: newly-set bits
-    val vsC = (0 until maskCols).map(j => s"v$j") // state: visited bits
 
     // deterministic pivot numbering: idx → (wave, column, bit), ascending
     // pivot id. Two shapes with identical output:
     //  - small-P fast path (P ≤ 64k): ONE job — collect the distinct pivot
     //    ids (bounded: ≤ 0.5 MB of longs), number on the driver, hand the
     //    loop a local relation. A visit previously paid ~4 driver-gapped
-    //    init jobs (rank's partition-count collect, the idx checkpoint, the
-    //    nWaves aggregate) before its first superstep — per-visit fixed cost
-    //    that a Chechik certification run re-pays every batch and that the
-    //    scaling legs can't parallelize away (JobProbe: ~5 s of init
-    //    jobs+gaps per leg at 8 cores, core-count-independent).
+    //    init jobs before its first superstep — per-visit fixed cost that a
+    //    Chechik certification run re-pays every batch and that the scaling
+    //    legs can't parallelize away.
     //  - large-P path: distributed range minting — the Chechik sample at
     //    web scale is K·E[λ] ≈ ln(n)/ε² · E[λ] · n rows, too big to collect.
     val smallPivotCap = 65536
@@ -186,62 +271,49 @@ object BitsetBfs {
         (ranked, ranked.agg(coalesce(max("wave"), lit(-1))).head().getInt(0) + 1)
       }
 
-    def nonZero(cols: Seq[String]): Column = nonZeroCols(cols)
-    def newlyProj(state: DataFrame): DataFrame =
-      state.where(nonZero(nsC)).select(
-        col("id") +: nsC.zip(ms).map { case (n, m) => col(n).as(m) }: _*)
+    def newlyTiles(state: DataFrame): DataFrame =
+      state.where(tileNonZero("ns")).select(col("chunk"), col("ns").as("tile"))
     def strip(df: DataFrame): DataFrame =
       org.apache.spark.sql.graft.CheckpointStats.strip(df)
 
-    // Dense vertex frame for the join-form superstep: every vertex of the
-    // (symmetrized) adjacency plus any isolated pivots, hash(id)-partitioned
-    // by its own distinct — the partitioning every per-wave state inherits.
-    // Built once per visit and dropped once all waves have materialized —
-    // UNLESS the caller supplied one (`vertsIn`): loops that run many visits
-    // over the same graph (a Chechik certification run is one visit per
-    // batch) would otherwise pay an n-row distinct + checkpoint per visit.
-    // A supplied frame must hold every adjacency vertex and every pivot,
-    // materialized (the caller owns its lifecycle), ideally hash(id)-
-    // partitioned so the one-exchange superstep shape holds from wave init.
-    val verts =
+    val prep =
       if (nWaves == 0) null
-      else if (vertsIn != null) vertsIn
-      else adjacency.select(col("src").as("id"))
-        .unionAll(idx.select(col("pivot").as("id")))
-        .distinct()
-        .localCheckpoint(true)
+      else if (prepIn != null) prepIn
+      else prepare(adjacency)
 
     var incs = Vector.empty[(Int, Int, DataFrame)]
     var visitedOut = Vector.empty[(Int, DataFrame)]
     var statesAcc = Vector.empty[DataFrame]
     for (w <- 0 until nWaves) {
-      // init: vertex = pivot, its own bit set (newly AND visited), dist 0;
-      // all other vertices carry zero masks (dense state). The pivot side is
-      // ≤ 64·maskCols rows — explicit broadcast, so the init join preserves
-      // the verts partitioning.
-      val masks0 = ms.indices.map { j =>
-        when(col("mcol") === j, expr("shiftleft(CAST(1 AS BIGINT), mbit)"))
-          .otherwise(0L)
-      }
-      val pivots0 = idx.where(col("wave") === w).select(
-        col("pivot").as("id") +:
-          (nsC.zip(masks0).map { case (n, m) => m.as(n) } ++
-           vsC.zip(masks0).map { case (v, m) => m.as(v) }): _*)
-      val init0 = verts.join(broadcast(pivots0), Seq("id"), "left")
-        .select(col("id") +:
-          (nsC ++ vsC).map(c => coalesce(col(c), lit(0L)).as(c)): _*)
-      // a vertex can be several pivots only across waves, never within (idx distinct)
-      // NOTE: state frames carry NO dist column — the superstep d lives in
-      // the `incs` tuples. A `lit(d)` in the loop plan would change the
-      // generated code every superstep (literals are inlined by codegen) and
-      // force a janino recompile per superstep: measured seconds of SERIAL
-      // driver time that caps N→4N scaling. The loop plan is superstep-
-      // invariant, so codegen caches hit from superstep 2 on; consumers
-      // attach dist from the tuple when assembling their one output plan.
-      val (state0, rows0) = mat.iterateCountedWhere(init0, 0, -1.0, nonZero(nsC))
+      // init: the pivot's own bit set (newly AND visited) in its chunk's
+      // tile, distance 0; all other chunks carry zero tiles (dense state).
+      // The pivot side is ≤ 64·maskCols chunk tiles — explicit broadcast, so
+      // the init join preserves the chunk universe's partitioning. Chunks of
+      // pivots absent from the adjacency (isolated) union in through one
+      // n/64-row distinct.
+      val wavePivots = idx.where(col("wave") === w)
+      val pivotTiles = wavePivots.select(
+          shiftright(col("pivot"), ChunkBits).as("chunk"),
+          col("pivot").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos"),
+          array((0 until maskCols).map(j =>
+            when(col("mcol") === j, expr("shiftleft(CAST(1 AS BIGINT), mbit)"))
+              .otherwise(lit(0L))): _*).as("masks"))
+        .groupBy("chunk").agg(org.apache.spark.sql.graft.TileAggs
+          .tileOr(col("pos"), col("masks"), maskCols, ChunkSize).as("ptile"))
+      val allChunks = prep.chunks
+        .unionAll(wavePivots.select(shiftright(col("pivot"), ChunkBits).as("chunk")))
+        .distinct()
+      val init0 = allChunks.join(broadcast(pivotTiles), Seq("chunk"), "left")
+        .select(col("chunk"),
+          coalesce(col("ptile"), zerosTile(maskCols)).as("ns"),
+          coalesce(col("ptile"), zerosTile(maskCols)).as("vs"))
+      // a vertex can be several pivots only across waves, never within (idx
+      // distinct). NOTE: state frames carry NO dist column — the superstep d
+      // lives in the `incs` tuples (see superstep scaladoc).
+      val (state0, rows0) = mat.iterateCountedWhere(init0, 0, -1.0, tileNonZero("ns"))
       var state = strip(state0)
       statesAcc :+= state
-      incs :+= ((w, 0, newlyProj(state)))
+      incs :+= ((w, 0, newlyTiles(state)))
       var d = 0
       var frontierRows = rows0
       val chainLen = math.max(1, math.min(chain, mat.chainCapacity))
@@ -253,12 +325,12 @@ object BitsetBfs {
           // superstep (also the DirMaterializer path, which wants the real
           // frontier count in each iteration's resume metadata)
           d += 1
-          val next = superstep(state, adjacency, maskCols)
-          val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, nonZero(nsC))
+          val next = superstep(state, prep.cadj, maskCols)
+          val (st, cnt) = mat.iterateCountedWhere(next, d, frontierRows.toDouble, tileNonZero("ns"))
           state = strip(st)
           statesAcc :+= state
           frontierRows = cnt
-          if (frontierRows > 0) incs :+= ((w, d, newlyProj(state)))
+          if (frontierRows > 0) incs :+= ((w, d, newlyTiles(state)))
           onSuperstep(d, frontierRows)
         } else {
           // chained path: build u supersteps LAZILY (each localCheckpoint
@@ -267,20 +339,20 @@ object BitsetBfs {
           // stage graph covers all u message exchanges, each intermediate
           // state persists the first time a stage computes it (later
           // references hit its checkpoint blocks) — and returns every
-          // substep's exact frontier count. u supersteps now cost ONE job
-          // submission + driver roundtrip instead of u: JobProbe measured
-          // the per-superstep driver gap at ~0.2-0.3 s, serial and
+          // substep's exact frontier-chunk count. u supersteps now cost ONE
+          // job submission + driver roundtrip instead of u: JobProbe
+          // measured the per-superstep driver gap at ~0.2-0.3 s, serial and
           // core-count-independent — precisely the term that caps the
           // N→4N scaling legs.
           var built = Vector.empty[DataFrame]
           var s = state
           for (k <- 1 to u) {
-            val next = superstep(s, adjacency, maskCols)
+            val next = superstep(s, prep.cadj, maskCols)
             s = strip(mat.iterateDeferred(next, d + k, -1.0))
             built :+= s
           }
           val counts = built.zipWithIndex
-            .map { case (st, i) => st.where(nonZero(nsC)).select(lit(i + 1).as("k")) }
+            .map { case (st, i) => st.where(tileNonZero("ns")).select(lit(i + 1).as("k")) }
             .reduce(_ unionAll _)
             .groupBy("k").agg(count(lit(1)).as("c"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -292,7 +364,7 @@ object BitsetBfs {
           var stop = false
           while (k <= u && !stop) {
             val cnt = counts.getOrElse(k, 0L)
-            if (cnt > 0) incs :+= ((w, d + k, newlyProj(built(k - 1))))
+            if (cnt > 0) incs :+= ((w, d + k, newlyTiles(built(k - 1))))
             onSuperstep(d + k, cnt)
             frontierRows = cnt
             if (cnt == 0) stop = true
@@ -302,15 +374,14 @@ object BitsetBfs {
           state = built.last
         }
       }
-      // dense state carries never-visited rows (all-zero v masks) for
-      // vertices unreachable from this wave's pivots — filter them so the
-      // visited frame's row set matches the sparse form exactly
-      val vis = state.where(nonZero(vsC)).select(
-        col("id") +: vsC.zip(ms).map { case (v, m) => col(v).as(m) }: _*)
+      // per-vertex visited masks for this wave — a lazy idRows projection,
+      // so its row set matches the sparse form exactly (never-reached
+      // vertices and phantom chunk slots carry all-zero masks and drop)
+      val vis = idRows(state, "vs", maskCols)
       visitedOut :+= ((w, vis))
       onWaveVisited(w, vis)
     }
-    if (verts != null && vertsIn == null) graft.core.Materializer.unpersistCheckpoint(verts)
+    if (prep != null && prepIn == null) prep.release()
     Visit(idx, ms, incs, visitedOut, statesAcc)
   }
 
@@ -326,20 +397,23 @@ object BitsetBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
-      verts: DataFrame = null,
+      prep: Prep = null,
       chain: Int = DefaultChain): Visit =
-    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts, chain)
+    waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, prep, chain)
 
   /** @param adjacency output of Graph.adjacency over SYMMETRIZED edges,
-    *                  persisted by the caller.
+    *                  persisted by the caller (only read when no `prep` is
+    *                  supplied — the visit then builds and frees its own).
     * @param pivots    one column `pivot: Long`.
     * @param maskCols  Long mask columns per wave (64 pivots each).
     * @param onWaveVisited called once per completed wave with the final
-    *                  consolidated visited frame (id, m0..) — cached; lets
-    *                  callers derive whole-visit aggregates (e.g.
+    *                  consolidated visited frame (id, m0..) — lets callers
+    *                  derive whole-visit aggregates (e.g.
     *                  Σ deg(v)·popcount(masks) = exact visited-arc count,
     *                  the reference's visitedArcs counter,
     *                  GeometricCentralities.java:179-181) without the explode.
+    * @param prep      chunk-keyed inputs from [[prepare]], reusable across
+    *                  visits over the same graph; null → built per visit.
     * @return Dist(pivot, id, dist) — same relation as [[MultiBfs.run]].
     */
   def run(
@@ -351,10 +425,10 @@ object BitsetBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
-      verts: DataFrame = null,
+      prep: Prep = null,
       chain: Int = DefaultChain): DataFrame = {
 
-    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts, chain)
+    val raw = waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, prep, chain)
     val ms = raw.maskNames
 
     if (raw.increments.isEmpty)
@@ -362,13 +436,14 @@ object BitsetBfs {
         spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL("pivot LONG, id LONG, dist INT"))
 
-    // explode masks → (pivot, id, dist), joined back through the idx map
+    // explode tiles → (pivot, id, dist), joined back through the idx map
     val bitsOf = (m: String) =>
       expr(s"filter(sequence(0, 63), b -> (shiftright($m, b) & 1) = 1)")
     raw.increments.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, winc) =>
       val exploded = winc.map { case (_, d, inc) =>
+        val rows = idRows(inc, "tile", ms.size)
         ms.zipWithIndex.map { case (m, j) =>
-          inc.where(col(m) =!= 0L)
+          rows.where(col(m) =!= 0L)
             .select(col("id"), lit(d).as("dist"),
               explode(bitsOf(m)).as("mbit"))
             .withColumn("mcol", lit(j))
@@ -382,16 +457,16 @@ object BitsetBfs {
 
   /** Per-pivot harmonic centrality Σ_v 1/d(pivot,v) WITHOUT materializing the
     * (pivot, id, dist) relation: one distributed aggregate over all waves'
-    * increments computes the 64·maskCols bit-histogram sums
-    * Σ_rows ((m_j >> b) & 1)/dist per wave, `stack` unpivots the per-wave
-    * sum row into (wave, mcol, mbit, h) — nWaves·64·maskCols rows — and a
-    * broadcast join attaches them to the distributed pivot index. Nothing of
-    * pivot cardinality ever lands on the driver (round-2 assembled the
-    * result via a driver-side map + collect + 1-partition parallelize —
-    * exactly what breaks at the Chechik web-scale sample size).
+    * tile increments computes the 64·maskCols bit-histogram sums
+    * Σ 1/dist per set bit, unpivoted into (wave, mcol, mbit, h) —
+    * nWaves·64·maskCols rows — and a broadcast join attaches them to the
+    * distributed pivot index. Nothing of pivot cardinality ever lands on the
+    * driver (round-2 assembled the result via a driver-side map + collect +
+    * 1-partition parallelize — exactly what breaks at the Chechik web-scale
+    * sample size).
     *
     * Identical output to `Geometric.scores(run(...)).select(id, harmonic)`
-    * (spec-checked) at O(n·maskCols) aggregate cost instead of O(P·n) rows.
+    * (spec-checked) at O(n·maskCols/64) aggregate ROWS instead of O(P·n).
     */
   def harmonic(
       spark: SparkSession,
@@ -402,10 +477,10 @@ object BitsetBfs {
       mat: Materializer = new LocalMaterializer(window = 0),
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
       onWaveVisited: (Int, DataFrame) => Unit = (_, _) => (),
-      verts: DataFrame = null,
+      prep: Prep = null,
       chain: Int = DefaultChain): DataFrame = {
 
-    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, verts, chain))
+    harmonic(waves(spark, adjacency, pivots, maskCols, maxIter, mat, onSuperstep, onWaveVisited, prep, chain))
   }
 
   /** Per-pivot harmonic from a completed [[Visit]] (see the other overload). */
@@ -421,66 +496,21 @@ object BitsetBfs {
   def farness(v: Visit): DataFrame =
     histogram(v, "farness", lit(0L))(d => d.cast("long"))
 
-  /** Per-bit counting aggregate: one `long[64·maskCols]` buffer per
-    * (wave, dist) group, incremented by iterating each row's SET bits only
-    * (`m &= m−1`), so total work is Σ visited (pivot, vertex) pairs — not
-    * rows × 64·maskCols cells.
-    *
-    * This is a typed [[org.apache.spark.sql.expressions.Aggregator]] on
-    * purpose, against the usual built-ins-first rule: the relational
-    * spelling is 64·maskCols parallel `sum((m >> b) & 1)` columns in one
-    * HashAggregate, whose 513-field schema falls out of whole-stage codegen
-    * (`spark.sql.codegen.maxFields` = 100) into interpreted per-expression
-    * evaluation — measured 40-50 s per visit at 8 cores/2M vertices, and
-    * still 20-35 s with the codegen limits raised. The primitive-buffer
-    * aggregator runs the same reduction in a JIT-tight loop: 12 s → and its
-    * output is 512 CELLS per group rather than 512 COLUMNS, so the
-    * downstream weighting/unpivot is a tiny posexplode instead of a `stack`
-    * over a wide row. (A custom Catalyst Expression could shave the
-    * per-row Seq decode too; not worth the surface while the aggregate is
-    * <10% of a visit.)
-    */
-  private final class BitCountAgg(maskCols: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
-    def zero: Array[Long] = new Array[Long](64 * maskCols)
-    def reduce(buf: Array[Long], masks: Seq[Long]): Array[Long] = {
-      var j = 0
-      while (j < maskCols) {
-        var m = masks(j)
-        while (m != 0L) {
-          buf(j * 64 + java.lang.Long.numberOfTrailingZeros(m)) += 1L
-          m &= m - 1
-        }
-        j += 1
-      }
-      buf
-    }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
-      a
-    }
-    def finish(b: Array[Long]): Seq[Long] = b.toSeq
-    def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  }
-
-  /** Shared histogram assembly in two stages. The expensive pass over the
-    * increment union reduces each (wave, dist) group to 64·maskCols integer
-    * bit counts via [[BitCountAgg]] (see its scaladoc for why this is a
-    * typed aggregate, with measurements). The tiny second stage —
-    * supersteps × 64·maskCols rows — posexplodes the count cells, applies
-    * `weight(dist)`, sums per (wave, mcol, mbit), and a broadcast join
-    * attaches the sums to the distributed pivot index. Farness stays
-    * exact: counts are integers, `weight` = dist as Long, Long sums end to
-    * end. Harmonic's (1/d)·count carries one rounding per distance instead
-    * of one per visited vertex.
+  /** Shared histogram assembly in two stages. The expensive pass reduces
+    * each (wave, dist) group of tile increments to 64·maskCols integer bit
+    * counts via [[TileCountAgg]] — n/64 rows per frame, primitive-buffer
+    * set-bit iteration. The tiny second stage — supersteps × 64·maskCols
+    * rows — posexplodes the count cells, applies `weight(dist)`, sums per
+    * (wave, mcol, mbit), and a broadcast join attaches the sums to the
+    * distributed pivot index. Farness stays exact: counts are integers,
+    * `weight` = dist as Long, Long sums end to end. Harmonic's (1/d)·count
+    * carries one rounding per distance instead of one per visited vertex.
     */
   private def histogram(v: Visit, outCol: String, zero: Column)(
       weight: Column => Column): DataFrame = {
-    val ms = v.maskNames
+    val mc = v.maskNames.size
     val body = v.increments.collect { case (w, d, inc) if d > 0 =>
-        inc.select(lit(w).as("wave") +: lit(d).as("dist") +: ms.map(col): _*)
+        inc.select(lit(w).as("wave"), lit(d).as("dist"), col("tile"))
       }
       .reduceOption(_ unionAll _)
     body match {
@@ -488,12 +518,10 @@ object BitsetBfs {
         // no superstep ever advanced: every pivot reaches nothing
         v.idx.select(col("pivot").as("id"), zero.as(outCol))
       case Some(frames) =>
-        val bitcount = udaf(new BitCountAgg(ms.size),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
         val byDist = frames
-          .select(col("wave"), col("dist"), array(ms.map(col): _*).as("masks"))
           .groupBy("wave", "dist")
-          .agg(bitcount(col("masks")).as("cnt"))
+          .agg(org.apache.spark.sql.graft.TileAggs
+            .tileBitCount(col("tile"), mc).as("cnt"))
         val h = byDist
           .select(col("wave"), col("dist"),
             posexplode(col("cnt")).as(Seq("pos", "c")))
@@ -526,16 +554,16 @@ object BitsetBfs {
   /** The reverse-direction aggregate: per wave, the ≤ 64·maskCols per-pivot
     * divisors are collected (bounded by the WAVE width, never the pivot
     * count) into per-mask-column array literals, and each increment row
-    * folds its set bits through the array with a codegen'd `aggregate`
-    * lambda — O(n·maskCols) row passes per wave for ANY pivot count, vs the
-    * O(P·n) rows of a row-BFS accumulation. Ratios are computed d / div in
-    * double, bit-identical to the row form. Pivots missing from `divisors`
-    * (e.g. F(s) = 0 sources, excluded by ChechikEstimator.java:52) are
-    * stored as divisor 0 and skipped by the fold; rows whose set bits are ALL
-    * divisor-less are filtered out entirely, so a target reached only by
-    * non-qualifying pivots is absent — exactly the row form's
-    * inner-join-then-group keyset. d = 0 rows on qualifying pivots
-    * contribute the identity but keep the target covered.
+    * (via the [[idRows]] projection) folds its set bits through the array
+    * with a codegen'd `aggregate` lambda — O(n·maskCols) row passes per wave
+    * for ANY pivot count, vs the O(P·n) rows of a row-BFS accumulation.
+    * Ratios are computed d / div in double, bit-identical to the row form.
+    * Pivots missing from `divisors` (e.g. F(s) = 0 sources, excluded by
+    * ChechikEstimator.java:52) are stored as divisor 0 and skipped by the
+    * fold; rows whose set bits are ALL divisor-less are filtered out
+    * entirely, so a target reached only by non-qualifying pivots is absent —
+    * exactly the row form's inner-join-then-group keyset. d = 0 rows on
+    * qualifying pivots contribute the identity but keep the target covered.
     *
     * @param divisors (pivot, div: Double), div ≠ 0 where the pivot counts.
     */
@@ -563,7 +591,8 @@ object BitsetBfs {
           .map { case (m, j) => col(m).bitwiseAND(lit(qual(j))) =!= 0L }
           .reduce(_ || _)
         val body = winc.map { case (_, d, inc) =>
-          inc.select(lit(d).as("dist") +: col("id") +: ms.map(col): _*)
+          idRows(inc, "tile", ms.size)
+            .select(lit(d).as("dist") +: col("id") +: ms.map(col): _*)
         }.reduce(_ unionAll _).where(qualPred)
         val withArrs = ms.indices.foldLeft(body) { (df, j) =>
           df.withColumn(s"arr$j",

@@ -77,7 +77,8 @@ object Chechik {
       n: Long,
       eps: Double = 0.1,
       onSuperstep: (Int, Long) => Unit = (_, _) => (),
-      forceBitset: Option[Boolean] = None): DataFrame = {
+      forceBitset: Option[Boolean] = None,
+      prep: BitsetBfs.Prep = null): DataFrame = {
     val p = pivots.select(col("pivot").cast("long").as("pivot")).distinct()
       .localCheckpoint(true)
     val nPiv = p.count()
@@ -85,7 +86,7 @@ object Chechik {
       if (forceBitset.getOrElse(useBitset(nPiv, n))) {
         val v = BitsetBfs.visit(spark, adjacency, p,
           maskCols = maskColsFor(nPiv), onSuperstep = onSuperstep,
-          verts = verts)
+          prep = prep)
         val divisors = BitsetBfs.farness(v)
           .where(col("farness") > 0)
           .select(col("id").as("pivot"), col("farness").cast("double").as("div"))
@@ -124,6 +125,10 @@ object Chechik {
 
     val verts = adjacency.select(col("src").as("id")).distinct().localCheckpoint(true)
     val n = verts.count()
+    // chunk-keyed visit inputs shared across EVERY bitset visit of the run
+    // (estimator, sample, one per certification batch) — built once here
+    // instead of an arcs-row repartition per visit
+    val bprep = BitsetBfs.prepare(adjacency)
     val nPivots = math.max(math.ceil(math.log(n.toDouble) / math.log(2)).toLong, 2L).min(n)
 
     // 1. uniform pivot sample without replacement, seeded (R1)
@@ -133,7 +138,8 @@ object Chechik {
       .select(col("id").as("pivot"))
 
     // 2-3. λ coefficients + keep probabilities from the pivot BFS (A9/A10)
-    val probs = estimatorCoefficients(spark, adjacency, pivots, verts, n, eps, countStep)
+    val probs = estimatorCoefficients(spark, adjacency, pivots, verts, n, eps, countStep,
+        prep = bprep)
       .select(col("id"), col("p"))
 
     // 4. Bernoulli sample S (R2), HT farness estimate apxF(v) = Σ_s d(s,v)/p_s.
@@ -148,7 +154,7 @@ object Chechik {
         val vSample = BitsetBfs.visit(spark, adjacency,
           sample.select(col("id").as("pivot")),
           maskCols = maskColsFor(sampleSize), onSuperstep = countStep,
-          verts = verts)
+          prep = bprep)
         val out = BitsetBfs.reverseSum(
             vSample, sample.select(col("id").as("pivot"), col("p").as("div")))
           .select(col("id"), col("value").as("apxF"))
@@ -189,11 +195,11 @@ object Chechik {
       // wave-packed visit, O(n·maskCols) rows/superstep, not O(batch·n)
       val (exactF, releaseBatch) =
         if (useBitset(batch, n)) {
-          // the shared dense `verts` frame saves an n-row distinct +
+          // the shared chunk-keyed `bprep` saves an arcs-row repartition +
           // checkpoint per batch — the loop runs one visit per batch
           val vb = BitsetBfs.visit(spark, adjacency, batchIds,
             maskCols = maskColsFor(batch), onSuperstep = countStep,
-            verts = verts)
+            prep = bprep)
           (BitsetBfs.farness(vb).select(col("id"), col("farness")),
             () => vb.release())
         } else
@@ -244,6 +250,7 @@ object Chechik {
         when(col("farness") > 0, lit(1.0) / col("farness")).otherwise(0.0).as("closeness"))
       .orderBy(asc("farness"), asc("id"))
 
+    bprep.release()
     val telemetry = Telemetry(
       n = n, initialPivots = nPivots, sampleSize = sampleSize,
       exactBfs = exactBfs, totalBfs = nPivots + sampleSize + exactBfs,

@@ -41,7 +41,7 @@ object ChainProbe {
     val adj = spark.read.parquet(adjDir).repartition(col("src")).persist()
     adj.count()
     val deg = adj.select(col("src").as("id"), col("degree")).distinct().localCheckpoint(true)
-    val verts = adj.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val bprep = BitsetBfs.prepare(adj)
     val sources = deg.orderBy("id").limit(pivots).select(col("id").as("pivot")).localCheckpoint(true)
     val maskCols = math.min(16, (pivots + 63) / 64)
 
@@ -49,7 +49,7 @@ object ChainProbe {
       var steps = 0
       val t0 = System.nanoTime()
       val h = BitsetBfs.harmonic(spark, adj, sources, maskCols = maskCols,
-        onSuperstep = (_, _) => steps += 1, verts = verts, chain = chain)
+        onSuperstep = (_, _) => steps += 1, prep = bprep, chain = chain)
       val chk = h.agg(sum("harmonic")).head().getDouble(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[chainprobe] chain=$chain: $sec%.2fs (steps=$steps checksum=$chk%.4f)")

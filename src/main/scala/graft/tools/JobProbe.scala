@@ -50,7 +50,7 @@ object JobProbe {
     val adj = spark.read.parquet(adjDir).repartition(col("src")).persist()
     adj.count()
     val deg = adj.select(col("src").as("id"), col("degree")).distinct().localCheckpoint(true)
-    val verts = adj.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val bprep = BitsetBfs.prepare(adj)
 
     // settle the listener, then mark the leg-job region
     Thread.sleep(500)
@@ -61,7 +61,7 @@ object JobProbe {
     BitsetBfs.harmonic(spark, adj, sources,
       maskCols = math.min(16, (pivots + 63) / 64),
       onSuperstep = (d, _) => stepAt :+= ((d, System.currentTimeMillis())),
-      verts = verts).count()
+      prep = bprep).count()
     val t1 = System.currentTimeMillis()
     Thread.sleep(500) // let the listener bus drain
 

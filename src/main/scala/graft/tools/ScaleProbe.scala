@@ -51,11 +51,9 @@ object ScaleProbe {
       val arcs = deg.agg(sum("degree")).head().getLong(0)
       (adj, deg, arcs)
     }
-    // untimed, same as Bench.loadScaleGraph: the dense vertex frame for the
-    // join-form superstep is leg prep, not algorithm work
-    val verts = t("verts") {
-      adj.select(col("src").as("id")).distinct().localCheckpoint(true)
-    }
+    // untimed, same as Bench.loadScaleGraph: the chunk-keyed visit inputs
+    // are leg prep, not algorithm work
+    val bprep = t("prep")(BitsetBfs.prepare(adj))
     println(s"[scaleprobe] n=${deg.count()} arcs=$arcs")
 
     var steps = 0L
@@ -64,7 +62,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val sources = deg.orderBy("id").limit(pivots).select(col("id").as("pivot"))
     t("bfs+harmonic") {
-      BitsetBfs.harmonic(spark, adj, sources, verts = verts,
+      BitsetBfs.harmonic(spark, adj, sources, prep = bprep,
         maskCols = math.min(16, (pivots + 63) / 64),
         onSuperstep = (d, fs) => {
           steps += 1

@@ -93,14 +93,14 @@ object StageProbe {
         val adj = spark.read.parquet(adjDir).repartition(col("src")).persist()
         adj.count()
         val deg = adj.select(col("src").as("id"), col("degree")).distinct().localCheckpoint(true)
-        val verts = adj.select(col("src").as("id")).distinct().localCheckpoint(true)
+        val bprep = BitsetBfs.prepare(adj)
         val sources = deg.orderBy("id").limit(pivots).select(col("id").as("pivot"))
           .localCheckpoint(true)
 
         Thread.sleep(300)
         collecting = true
         val t0 = System.nanoTime()
-        BitsetBfs.harmonic(spark, adj, sources, maskCols = maskCols, verts = verts)
+        BitsetBfs.harmonic(spark, adj, sources, maskCols = maskCols, prep = bprep)
           .agg(sum("harmonic")).head().getDouble(0)
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300)

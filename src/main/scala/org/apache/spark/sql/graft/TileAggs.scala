@@ -1,0 +1,160 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Raw Catalyst tile aggregates for the bitset BFS (`graft.algo.BitsetBfs`):
+  * `private[sql]` access (Column ↔ Expression wrapping), so they live in an
+  * `org.apache.spark.sql` subpackage — plain shims over the public Apache
+  * Spark source, nothing else.
+  *
+  * Why raw [[TypedImperativeAggregate]] and not a typed
+  * `expressions.Aggregator` + `udaf(...)`: a ScalaAggregator round-trips
+  * EVERY input row through its input ExpressionEncoder — an interpreted
+  * deserialize (external tuple/Seq allocation, per-element copy or boxing)
+  * measured at ~1 μs/row. The message aggregate consumes Σ deg(frontier)
+  * raw rows per superstep (tens of millions at the bench's 2M-vertex leg,
+  * unbounded at scale), so the decode dominated the superstep after the
+  * tile rewrite collapsed the shuffle itself. These implementations read
+  * the Catalyst `InternalRow`/`ArrayData` directly — no encoder, no
+  * per-element boxing; the buffer stays a primitive `long[]` between rows
+  * (ObjectHashAggregateExec object buffer), exactly like Spark's own
+  * ApproximatePercentile/HyperLogLogPlusPlus.
+  */
+object TileAggs {
+  /** `groupBy(chunk).agg(tileOr(pos, masks, mc))` → `array<long>` tile of
+    * 64·mc elements, element pos·mc + j = bitwise OR of masks(j) over rows.
+    */
+  def tileOr(pos: Column, masks: Column, maskCols: Int, chunkSize: Int): Column =
+    ExpressionUtils.column(
+      TileOrAgg(ExpressionUtils.expression(pos), ExpressionUtils.expression(masks),
+        maskCols, chunkSize)
+        .toAggregateExpression())
+
+  /** `agg(tileBitCount(tile, mc))` → `array<long>` of 64·mc per-pivot-bit
+    * counts, cell j·64 + b = Σ over rows of bit b of tile element pos·mc + j.
+    */
+  def tileBitCount(tile: Column, maskCols: Int): Column =
+    ExpressionUtils.column(
+      TileBitCountAgg(ExpressionUtils.expression(tile), maskCols).toAggregateExpression())
+
+  private[graft] def toBytes(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  private[graft] def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+}
+
+/** OR each (pos, masks) message row into a dense 64·maskCols tile — the
+  * map-side-combining message aggregate whose output volume is bounded by
+  * populated CHUNKS per task, never input rows (see BitsetBfs scaladoc).
+  */
+case class TileOrAgg(
+    pos: Expression,
+    masks: Expression,
+    maskCols: Int,
+    chunkSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(pos, masks)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tile_or"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](chunkSize * maskCols)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val base = pos.eval(input).asInstanceOf[Int] * maskCols
+    val arr = masks.eval(input).asInstanceOf[ArrayData]
+    var j = 0
+    while (j < maskCols) { buf(base + j) |= arr.getLong(j); j += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def serialize(buf: Array[Long]): Array[Byte] = TileAggs.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = TileAggs.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): TileOrAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TileOrAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TileOrAgg =
+    copy(pos = newChildren(0), masks = newChildren(1))
+}
+
+/** Count set bits of tile rows into 64·maskCols per-pivot-bit cells by
+  * iterating each element's SET bits only (`m &= m−1`): total work is
+  * Σ visited (pivot, vertex) pairs over n/64-row tile frames.
+  */
+case class TileBitCountAgg(
+    tile: Expression,
+    maskCols: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(tile)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tile_bit_count"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64 * maskCols)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val arr = tile.eval(input).asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var i = 0
+    while (i < len) {
+      var m = arr.getLong(i)
+      if (m != 0L) {
+        val cell = (i % maskCols) * 64
+        while (m != 0L) {
+          buf(cell + java.lang.Long.numberOfTrailingZeros(m)) += 1L
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def serialize(buf: Array[Long]): Array[Byte] = TileAggs.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = TileAggs.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): TileBitCountAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TileBitCountAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TileBitCountAgg =
+    copy(tile = newChildren(0))
+}

@@ -33,32 +33,32 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*("), plan)
   }
 
-  test("bitset superstep: ONE exchange, shuffled-hash joins, no sort-merge") {
-    // the loop's claim (BitsetBfs scaladoc): with the state hash(id)-
-    // partitioned via its stripped checkpoint and the adjacency persisted
-    // hash(src)-partitioned, a superstep's only Exchange is the message
-    // groupBy — the frontier⋈adjacency and state⟕messages joins are both
-    // co-partitioned shuffled-hash. Assert it on the real physical plan in
-    // a bench-shaped session (AQE off, fixed partitions).
+  test("bitset tile superstep: ONE exchange, shuffled-hash joins, no sort-merge") {
+    // the loop's claim (BitsetBfs scaladoc): with the tile state
+    // hash(chunk)-partitioned via its stripped checkpoint and the chunked
+    // adjacency from BitsetBfs.prepare, a superstep's only Exchange is the
+    // tile-message groupBy — the frontier⋈cadj (on chunk, pos) and
+    // state⟕messages (on chunk) joins are both co-partitioned shuffled-hash.
+    // Assert it on the real physical plan in a bench-shaped session (AQE
+    // off, fixed partitions).
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // the loop sets this itself (BitsetBfs.waves); superstep is called
+    // directly here
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     import s.implicits._
-    // checkpoint the tiny adjacency so the plan leaf is a clean
-    // hash(src)-partitioned Scan ExistingRDD — the same partitioning the
-    // bench's persisted/parquet-restored adjacency exposes; a raw .persist()
-    // here would print the whole build subtree (its exchanges included) and
-    // make the count assertion measure the build, not the superstep
-    val adj = org.apache.spark.sql.graft.CheckpointStats.strip(
+    val prep = graft.algo.BitsetBfs.prepare(
       graft.core.Graph.adjacency(graft.core.Graph.symmetrize(
-        Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L).toDF("src", "dst")))
-        .localCheckpoint(true))
+        Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L).toDF("src", "dst"))))
+    // one chunk tile, vertex 0's bit 0 newly set
+    val tile = (0 until 64).map(i => if (i == 0) 1L else 0L)
     val state = org.apache.spark.sql.graft.CheckpointStats.strip(
-      Seq((0L, 1L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L))
-        .toDF("id", "n0", "v0")
-        .repartition(col("id"))
+      Seq((0L, tile, tile))
+        .toDF("chunk", "ns", "vs")
+        .repartition(col("chunk"))
         .localCheckpoint(true))
-    val next = graft.algo.BitsetBfs.superstep(state, adj, 1)
+    val next = graft.algo.BitsetBfs.superstep(state, prep.cadj, 1)
     val plan = next.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
     assert(plan.contains("ShuffledHashJoin"), plan)
