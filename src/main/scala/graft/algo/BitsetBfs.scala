@@ -67,7 +67,7 @@ object BitsetBfs {
     * chunk-granularity A/B probes; all layouts in one JVM must agree, so it
     * is read once.
     */
-  private val ChunkBits = sys.env.getOrElse("GRAFT_CHUNK_BITS", "6").toInt
+  private val ChunkBits = sys.env.getOrElse("GRAFT_CHUNK_BITS", "8").toInt
   private val ChunkSize = 1 << ChunkBits
 
   /** Chunk-keyed visit inputs, built once and reused across visits over the

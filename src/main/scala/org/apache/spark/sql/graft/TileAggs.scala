@@ -45,14 +45,48 @@ object TileAggs {
     ExpressionUtils.column(
       TileBitCountAgg(ExpressionUtils.expression(tile), maskCols).toAggregateExpression())
 
-  private[graft] def toBytes(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
+  /** Serialized partial-tile format, chosen per buffer by population:
+    * `[int nnz][(int idx, long val) × nnz]` when sparse pays,
+    * `[-1][raw long × len]` otherwise. Mid-BFS a map task's partial tile for
+    * a remote chunk holds only the bits of ITS arcs into that chunk —
+    * ~(arcs/tasks)/(n/chunkSize) messages against 64·chunkSize·maskCols
+    * bits, well under 1% dense — while partial-agg output is ∝ map tasks ×
+    * populated chunks. Dense 8·len-byte partials made that term the
+    * non-scaling shuffle-byte bulk of the peak supersteps; sparse encoding
+    * makes partial bytes ∝ bits actually set. The break-even (12·nnz <
+    * 8·len) keeps genuinely dense tiles (late supersteps, the merged reduce
+    * side of few-task runs) in the flat raw form.
+    */
+  def toBytes(buf: Array[Long]): Array[Byte] = {
+    var nnz = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0L) nnz += 1; i += 1 }
+    if (12L * nnz < 8L * buf.length) {
+      val bb = ByteBuffer.allocate(4 + 12 * nnz)
+      bb.putInt(nnz)
+      i = 0
+      while (i < buf.length) {
+        if (buf(i) != 0L) { bb.putInt(i); bb.putLong(buf(i)) }
+        i += 1
+      }
+      bb.array()
+    } else {
+      val bb = ByteBuffer.allocate(4 + buf.length * 8)
+      bb.putInt(-1)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
   }
-  private[graft] def fromBytes(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+  def fromBytes(bytes: Array[Byte], len: Int): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val nnz = bb.getInt()
+    val out = new Array[Long](len)
+    if (nnz < 0) {
+      bb.asLongBuffer().get(out)
+    } else {
+      var k = 0
+      while (k < nnz) { out(bb.getInt()) = bb.getLong(); k += 1 }
+    }
     out
   }
 }
@@ -93,7 +127,8 @@ case class TileOrAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
   override def serialize(buf: Array[Long]): Array[Byte] = TileAggs.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = TileAggs.fromBytes(bytes)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    TileAggs.fromBytes(bytes, chunkSize * maskCols)
 
   override def withNewMutableAggBufferOffset(n: Int): TileOrAgg =
     copy(mutableAggBufferOffset = n)
@@ -148,7 +183,8 @@ case class TileBitCountAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
   override def serialize(buf: Array[Long]): Array[Byte] = TileAggs.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = TileAggs.fromBytes(bytes)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    TileAggs.fromBytes(bytes, 64 * maskCols)
 
   override def withNewMutableAggBufferOffset(n: Int): TileBitCountAgg =
     copy(mutableAggBufferOffset = n)

@@ -321,4 +321,21 @@ class AlgoSpec extends SparkTestBase {
       .join(degs, Seq("id")).agg(sum("degree")).head().getLong(0)
     assert(maskEdges === rowEdges)
   }
+
+  test("sparse tile serialization round-trips dense, sparse, and empty buffers") {
+    import org.apache.spark.sql.graft.TileAggs
+    val rnd = new scala.util.Random(7)
+    val len = 512
+    val dense = Array.fill(len)(rnd.nextLong())
+    val sparse = new Array[Long](len)
+    Seq(0, 17, 333, 511).foreach(i => sparse(i) = rnd.nextLong() | 1L)
+    val empty = new Array[Long](len)
+    for (buf <- Seq(dense, sparse, empty)) {
+      val bytes = TileAggs.toBytes(buf)
+      assert(TileAggs.fromBytes(bytes, len).toSeq === buf.toSeq)
+    }
+    // sparse encoding actually engages and pays
+    assert(TileAggs.toBytes(sparse).length === 4 + 12 * 4)
+    assert(TileAggs.toBytes(dense).length === 4 + 8 * len)
+  }
 }
