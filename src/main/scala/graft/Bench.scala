@@ -401,8 +401,12 @@ object Bench {
     val rowPivots = sys.env.getOrElse("SPARK_GRAFT_PIVOTS", "32").toInt
     val scalePivots = sys.env.getOrElse("SPARK_GRAFT_SCALE_PIVOTS", "512").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2000000").toLong
-    // rep CAPS (budget decides the actual counts, floored at 1)
-    val scaleRepCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+    // rep CAPS (budget decides the actual counts, floored at 1). The scale
+    // cap is sized to the leg cutoff, not the other way round: the 6-pair
+    // run used ~900 s of its 1428 s cutoff, so up to 9 pairs fit — each
+    // extra pair is another chance for BOTH legs to land in a clean host
+    // window (best-of/composite-of-minima only ever improve with reps)
+    val scaleRepCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "9").toInt
     val headRepCap = sys.env.getOrElse("SPARK_GRAFT_HEAD_REPS", "3").toInt
     val breadthRepCap = sys.env.getOrElse("SPARK_GRAFT_BREADTH_REPS", "3").toInt
     // 2100 s + ~2 min sbt/JVM startup + worst-case one-phase overshoot lands
