@@ -28,7 +28,7 @@ import graft.ann.Ann
   *
   * TIME BUDGET (round-3 lesson: `BENCH_r03.json` was rc 124 — the rep counts
   * grew past the driver's wall-clock limit and the round shipped NO bench
-  * evidence): `SPARK_GRAFT_TIME_BUDGET` seconds (default 1500) bounds the
+  * evidence): `SPARK_GRAFT_TIME_BUDGET` seconds (default 2100) bounds the
   * whole main(). Rep counts are DERIVED — each phase measures its first rep
   * and repeats only while the remaining budget allows, capped by the
   * SPARK_GRAFT_*_REPS envs (now maxima, not mandates), floored at 1. The

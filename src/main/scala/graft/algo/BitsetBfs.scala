@@ -70,6 +70,15 @@ object BitsetBfs {
   private val ChunkBits = sys.env.getOrElse("GRAFT_CHUNK_BITS", "8").toInt
   private val ChunkSize = 1 << ChunkBits
 
+  /** Message-aggregate form: mask columns as direct unboxed-ordinal children
+    * (default; see [[org.apache.spark.sql.graft.TileAggs.tileOrCols]]) vs
+    * one `array(...)` child. Same-window A/B (BASELINE.md): the unboxed
+    * column form won every rotated pair by 0.5–1.6%; a boxed-eval column
+    * form had LOST the mirror-image A/B by 1–2%. Env-overridable for A/B
+    * probes only.
+    */
+  private val TileCols = sys.env.getOrElse("GRAFT_TILE_COLS", "1") != "0"
+
   /** Chunk-keyed visit inputs, built once and reused across visits over the
     * same graph (a Chechik certification run is one visit per batch; the
     * bench legs build it as untimed prep like the adjacency load itself):
@@ -182,16 +191,30 @@ object BitsetBfs {
     // load-bearing (see CheckpointStats scaladoc), and SMJ would re-sort
     // the checkpointed adjacency every superstep.
     val fr = frontier.hint("shuffle_hash")
-    val msgs = fr
+    // per-arc message rows: under GRAFT_TILE_COLS the mask columns feed the
+    // tile aggregate DIRECTLY (unboxed ordinal reads) instead of being
+    // packed into an array per arc row — no UnsafeArrayData alloc + copy on
+    // the hottest projection in the engine (A/B: BASELINE.md).
+    val arcs = fr
       .join(cadj, Seq("chunk", "pos"))
       .select(explode(col("neighbors")).as("dst") +: ms.map(col): _*)
-      .select(
-        shiftright(col("dst"), ChunkBits).as("chunk"),
-        col("dst").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos"),
-        array(ms.map(col): _*).as("masks"))
-      .groupBy("chunk")
-      .agg(org.apache.spark.sql.graft.TileAggs
-        .tileOr(col("pos"), col("masks"), maskCols, ChunkSize).as("atile"))
+    val msgs =
+      (if (TileCols)
+        arcs.select(
+            shiftright(col("dst"), ChunkBits).as("chunk") +:
+              col("dst").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos") +:
+              ms.map(col): _*)
+          .groupBy("chunk")
+          .agg(org.apache.spark.sql.graft.TileAggs
+            .tileOrCols(col("pos"), ms.map(col), ChunkSize).as("atile"))
+      else
+        arcs.select(
+            shiftright(col("dst"), ChunkBits).as("chunk"),
+            col("dst").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos"),
+            array(ms.map(col): _*).as("masks"))
+          .groupBy("chunk")
+          .agg(org.apache.spark.sql.graft.TileAggs
+            .tileOr(col("pos"), col("masks"), maskCols, ChunkSize).as("atile")))
     // visited test + visited update, fused into the co-partitioned merge
     // join (both sides hash(chunk)): two codegen'd zip_with lambdas over the
     // tiles, left outer keeps the state side's partitioning for the NEXT

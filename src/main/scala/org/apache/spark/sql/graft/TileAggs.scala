@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -29,6 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ApproximatePercentile/HyperLogLogPlusPlus.
   */
 object TileAggs {
+  /** Set when a [[TileOrColsAgg]] resolves its bound-ordinal fast path
+    * (written once per task at first update, not per row) — local-mode
+    * spec insurance that the unboxed path actually engages; if a Spark
+    * upgrade stops handing the aggregate BoundReference children, the
+    * equivalence spec fails loudly instead of the perf silently regressing
+    * to interpreted eval.
+    */
+  @volatile private[sql] var colsFastPathEngaged: Boolean = false
+
+  /** Read-only view of [[colsFastPathEngaged]] for specs. */
+  def colsFastPathWasEngaged: Boolean = colsFastPathEngaged
   /** `groupBy(chunk).agg(tileOr(pos, masks, mc))` → `array<long>` tile of
     * 64·mc elements, element pos·mc + j = bitwise OR of masks(j) over rows.
     */
@@ -44,6 +55,22 @@ object TileAggs {
   def tileBitCount(tile: Column, maskCols: Int): Column =
     ExpressionUtils.column(
       TileBitCountAgg(ExpressionUtils.expression(tile), maskCols).toAggregateExpression())
+
+  /** [[tileOr]] with the mask columns as DIRECT children (`m0..m{mc-1}`)
+    * read UNBOXED off the input row via their bound ordinals: the per-arc
+    * message projection then materializes no `array(...)` (UnsafeArrayData
+    * header + element copy per arc row) and the update boxes nothing —
+    * a plain `getInt` + maskCols × `getLong`. A boxed-eval variant of the
+    * same shape measured 1–2% SLOWER than the array form (BASELINE.md,
+    * varargs A/B): `masks(j).eval` allocates a `java.lang.Long` per mask
+    * per arc, which outweighs the array it saves. The ordinal fast path is
+    * what makes the column form pay.
+    */
+  def tileOrCols(pos: Column, masks: Seq[Column], chunkSize: Int): Column =
+    ExpressionUtils.column(
+      TileOrColsAgg(ExpressionUtils.expression(pos),
+        masks.map(ExpressionUtils.expression), chunkSize)
+        .toAggregateExpression())
 
   /** Serialized partial-tile format, chosen per buffer by population:
     * `[int nnz][(int idx, long val) × nnz]` when sparse pays,
@@ -137,6 +164,75 @@ case class TileOrAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TileOrAgg =
     copy(pos = newChildren(0), masks = newChildren(1))
+}
+
+/** [[TileOrAgg]] with per-column mask children read unboxed via bound
+  * ordinals — see [[TileAggs.tileOrCols]]. At update time the planner has
+  * bound the children to input ordinals ([[BoundReference]]); the fast path
+  * reads primitives straight off the row. Any non-bound child (never the
+  * case under ObjectHashAggregateExec, but cheap insurance) falls back to
+  * boxed eval with identical semantics.
+  */
+case class TileOrColsAgg(
+    pos: Expression,
+    masks: Seq[Expression],
+    chunkSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val maskCols = masks.size
+  override def children: Seq[Expression] = pos +: masks
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tile_or_cols"
+
+  // Resolved on the executor at first update, AFTER binding (the bound copy
+  // is produced by withNewChildrenInternal post-deserialization).
+  @transient private lazy val boundOrds: Array[Int] = {
+    val all = pos +: masks
+    val ords =
+      if (all.forall(_.isInstanceOf[BoundReference]))
+        all.map(_.asInstanceOf[BoundReference].ordinal).toArray
+      else null
+    if (ords != null) TileAggs.colsFastPathEngaged = true
+    ords
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](chunkSize * maskCols)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val ords = boundOrds
+    if (ords != null) {
+      val base = input.getInt(ords(0)) * maskCols
+      var j = 0
+      while (j < maskCols) { buf(base + j) |= input.getLong(ords(j + 1)); j += 1 }
+    } else {
+      val base = pos.eval(input).asInstanceOf[Int] * maskCols
+      var j = 0
+      while (j < maskCols) { buf(base + j) |= masks(j).eval(input).asInstanceOf[Long]; j += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def serialize(buf: Array[Long]): Array[Byte] = TileAggs.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    TileAggs.fromBytes(bytes, chunkSize * maskCols)
+
+  override def withNewMutableAggBufferOffset(n: Int): TileOrColsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TileOrColsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TileOrColsAgg =
+    copy(pos = newChildren.head, masks = newChildren.tail)
 }
 
 /** Count set bits of tile rows into 64·maskCols per-pivot-bit cells by

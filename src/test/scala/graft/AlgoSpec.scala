@@ -338,4 +338,31 @@ class AlgoSpec extends SparkTestBase {
     assert(TileAggs.toBytes(sparse).length === 4 + 12 * 4)
     assert(TileAggs.toBytes(dense).length === 4 + 8 * len)
   }
+
+  test("tileOrCols (unboxed column children) equals tileOr (array child)") {
+    import org.apache.spark.sql.graft.TileAggs
+    val rnd = new scala.util.Random(11)
+    val mc = 3
+    val chunkSize = 16
+    val rows = Seq.tabulate(600) { _ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(chunkSize),
+        rnd.nextLong(), rnd.nextLong(), rnd.nextLong())
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("chunk", "pos", "m0", "m1", "m2")
+    val ms = Seq("m0", "m1", "m2").map(col)
+    val viaArray = df
+      .groupBy("chunk")
+      .agg(TileAggs.tileOr(col("pos"), array(ms: _*), mc, chunkSize).as("tile"))
+    val viaCols = df
+      .groupBy("chunk")
+      .agg(TileAggs.tileOrCols(col("pos"), ms, chunkSize).as("tile"))
+    val a = viaArray.orderBy("chunk").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val c = viaCols.orderBy("chunk").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.toSeq === c.toSeq)
+    // the unboxed bound-ordinal path must actually engage (local mode shares
+    // the JVM) — a silent fallback to interpreted eval would invalidate the
+    // form's measured advantage without failing anything
+    assert(TileAggs.colsFastPathWasEngaged)
+  }
 }
