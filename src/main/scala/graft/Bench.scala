@@ -50,9 +50,11 @@ import graft.ann.Ann
   * advertised 32 vCPUs under load) and parallel memory streaming saturates
   * at ~63 GB/s; 2→8 cores measures ~0.9+ on both axes, so the legs run at
   * N=2, 4N=8 — the largest 4x span whose ceiling is not the host itself.
-  * BOTH ceilings ship in the JSON (`hw_ceiling_cpu` from the arithmetic
-  * burn, `hw_ceiling_mem` from the streaming burn; `hw_ceiling` = their
-  * min, the binding constraint for shuffle-heavy supersteps), measured as
+  * ALL THREE ceilings ship in the JSON (`hw_ceiling_cpu` from the
+  * arithmetic burn, `hw_ceiling_mem` from the streaming burn,
+  * `hw_ceiling_rmw` from the random-line-RMW burn matched to the tile
+  * aggregate's access pattern; `hw_ceiling` = their min, the binding
+  * constraint for shuffle-heavy supersteps), measured as
   * the max of warmed, interleaved short reps — capacity = the cleanest
   * window — clamped to ≤1 with the raw value alongside. Legs and burns run
   * pinned to the leg's cpuset (`taskset -apc`, exit-code-checked; a failed
@@ -146,6 +148,21 @@ object Bench {
     ts.foreach(_.join())
     threads.toDouble * len * 8L * passes / ((System.nanoTime() - t0) / 1e9)
   }
+
+  /** Parallel random 64-byte-line read-modify-write throughput at `threads`
+    * threads (bytes/sec of touched lines): each thread ORs 8-long stripes at
+    * xorshift-random line-aligned positions of a private 128 MB array — the
+    * access pattern of the tile message aggregate (hash-random chunk/pos
+    * RMW into the per-task partial map). Random-line RMW scales across
+    * threads on a DIFFERENT curve than the sequential stream (latency/MLP-
+    * bound per thread, row-buffer-locality-bound across threads) and is the
+    * most co-tenant-sensitive of the three axes, so in dirty windows it can
+    * bind where both other burns do not. Standalone probes: 1.0–1.1 GB/s at
+    * 2 pinned threads, 3.6–3.9 at 8 → ~0.88 scaling on a quiet host
+    * (sequential: 0.94, arithmetic: 0.97). See `graft.tools.RmwProbe`.
+    */
+  private def rmwBurn(threads: Int, opsPerThread: Long = 33554432L): Double =
+    graft.tools.RmwProbe.run(threads, mbPerThread = 128, opsPerThread)
 
   /** Pin ALL current+future JVM threads to `n` cpus (taskset -ap). Returns
     * whether the pin took — round-3 advice: swallowing taskset failures
@@ -445,13 +462,26 @@ object Bench {
       pin(hiCores); val hi = memBurn(hiCores)
       (lo, hi)
     }
+    // latency-bound burn: collect garbage first — G1 worker threads from the
+    // preceding Spark legs sharing a 2-CPU pin suppress the LO side only
+    // (run 4 measured an impossible raw 1.67 before this), and unlike the
+    // throughput burns the random-RMW loop cannot hide competitor threads
+    // inside its own memory-level parallelism
+    System.gc()
+    val rmwReps = (1 to 3).map { _ =>
+      pin(loCores); val lo = rmwBurn(loCores)
+      pin(hiCores); val hi = rmwBurn(hiCores)
+      (lo, hi)
+    }
     pin(mainCores)
     val factor = hiCores.toDouble / loCores
     val hwCpuRaw = burnReps.map(_._2).max / (factor * burnReps.map(_._1).max)
     val hwMemRaw = memReps.map(_._2).max / (factor * memReps.map(_._1).max)
+    val hwRmwRaw = rmwReps.map(_._2).max / (factor * rmwReps.map(_._1).max)
     val hwCpu = math.min(1.0, hwCpuRaw)
     val hwMem = math.min(1.0, hwMemRaw)
-    val hwCeiling = math.min(hwCpu, hwMem)
+    val hwRmw = math.min(1.0, hwRmwRaw)
+    val hwCeiling = math.min(hwCpu, math.min(hwMem, hwRmw))
 
     // scaling legs: same job, same prebuilt input, only parallelism varies.
     // Sessions ALTERNATE lo/hi so hypervisor-throttle windows hit both legs
@@ -511,7 +541,7 @@ object Bench {
       s""","sec_lo":${f"${lo.sec}%.3f"},"sec_hi":${f"${hiScale.sec}%.3f"},"edges_per_sec_lo":${f"${lo.edgesPerSec}%.0f"},"edges_per_sec_hi":${f"${hiScale.edgesPerSec}%.0f"}""" +
       s""","factor":$factor,"efficiency":${f"$efficiency%.3f"},"efficiency_vs_ceiling":${f"${efficiency / hwCeiling}%.3f"}""" +
       s""","sec_lo_composite":${f"$loCompSec%.3f"},"sec_hi_composite":${f"$hiCompSec%.3f"},"efficiency_composite":${f"$efficiencyComp%.3f"}""" +
-      s""","hw_ceiling":${f"$hwCeiling%.3f"},"hw_ceiling_cpu":${f"$hwCpu%.3f"},"hw_ceiling_cpu_raw":${f"$hwCpuRaw%.3f"},"hw_ceiling_mem":${f"$hwMem%.3f"},"hw_ceiling_mem_raw":${f"$hwMemRaw%.3f"}""" +
+      s""","hw_ceiling":${f"$hwCeiling%.3f"},"hw_ceiling_cpu":${f"$hwCpu%.3f"},"hw_ceiling_cpu_raw":${f"$hwCpuRaw%.3f"},"hw_ceiling_mem":${f"$hwMem%.3f"},"hw_ceiling_mem_raw":${f"$hwMemRaw%.3f"},"hw_ceiling_rmw":${f"$hwRmw%.3f"},"hw_ceiling_rmw_raw":${f"$hwRmwRaw%.3f"}""" +
       s""","reps":$scaleReps,"pinning":$pinningOk,"shuffle_mult":$shuffleMult""" +
       s""","reps_lo_eps":[${loRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}],"reps_hi_eps":[${hiRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}]""" +
       s""","segs_lo_min":[${(0 until loRuns.map(_.segs.size).min).map(i => f"${loRuns.map(_.segs(i)).min}%.2f").mkString(",")}],"segs_hi_min":[${(0 until hiRuns.map(_.segs.size).min).map(i => f"${hiRuns.map(_.segs(i)).min}%.2f").mkString(",")}]}"""
