@@ -490,19 +490,32 @@ object Bench {
     // JSON) — the spread IS the host noise. Pair count is budget-derived:
     // the legs may spend up to half the budget, measured off the first pair.
     val scaleDir = prepScaleDir(scaleN, shuffleMult)
-    def scaleLeg(cores: Int): Job = {
+    def scaleLegDir(cores: Int, dir: String): Job = {
       pin(cores)
       try withSession(cores, shuffleMult) { s =>
-        val (adj, deg, prep) = loadScaleGraph(s, scaleDir)
+        val (adj, deg, prep) = loadScaleGraph(s, dir)
         try harmonicJob(s, adj, deg, scalePivots, bitset = true, prep = prep)
         finally { prep.release(); adj.unpersist(true) }
       } finally pin(mainCores)
     }
-    // legs may spend ~2/3 of the budget: the scaling efficiency IS the north
-    // rule's core claim, and composite-of-minima needs reps to dodge this
-    // host's steal bursts; headline+breadth fit in the remainder (~10 min at
-    // sf0.1) with the post-leg partial emit as the safety net
-    val scaleCutoff = budget * 0.68
+    def scaleLeg(cores: Int): Job = scaleLegDir(cores, scaleDir)
+    // DATA-scaling leg (round-5): per-edge throughput as the graph grows 4×
+    // with cores FIXED at hiCores — the 100 TB axis the core legs don't
+    // cover (round 4 measured it 1.25–1.32× FASTER per edge, but only in
+    // BASELINE.md prose; the JSON must carry it). eps at n_lo reuses the
+    // core-scaling hi leg (same job, same n, same cores), so only the n_hi
+    // reps cost extra budget.
+    val dataScaleOn = sys.env.getOrElse("SPARK_GRAFT_DATA_SCALE", "1") == "1"
+    val dataN = sys.env.getOrElse("SPARK_GRAFT_DATA_N", (4 * scaleN).toString).toLong
+    val dataRepCap = sys.env.getOrElse("SPARK_GRAFT_DATA_REPS", "2").toInt
+    // legs may spend ~2/3 of the budget when they have it to themselves:
+    // the scaling efficiency IS the north rule's core claim, and
+    // composite-of-minima needs reps to dodge this host's steal bursts;
+    // with the data leg enabled the core legs yield it ~13% (≈ one pair)
+    // and the data leg stops by 0.72 — headline+breadth fit in the
+    // remainder (~10 min at sf0.1) with the post-leg partial emit as the
+    // safety net
+    val scaleCutoff = budget * (if (dataScaleOn) 0.55 else 0.68)
     var legRuns = Vector.empty[(Int, Job)]
     var pairSec = 0.0
     try {
@@ -518,6 +531,21 @@ object Bench {
         continue = pairs < scaleRepCap && elapsed + pairSec * 1.1 < scaleCutoff
       }
     } finally deleteRecursively(scaleDir)
+    // data-scaling reps: 4×-n graph, same hiCores pin, same job. Guarded so
+    // a slow window skips it rather than starving the headline (the block
+    // then ships null and BASELINE.md's measured rounds stand as evidence).
+    var dataRuns = Vector.empty[Job]
+    if (dataScaleOn && elapsed + pairSec * 2.2 < budget * 0.72) {
+      val dataDir = prepScaleDir(dataN, shuffleMult)
+      try {
+        var continue = true
+        while (continue) {
+          val (j, sec) = time(scaleLegDir(hiCores, dataDir))
+          dataRuns :+= j
+          continue = dataRuns.size < dataRepCap && elapsed + sec * 1.1 < budget * 0.72
+        }
+      } finally deleteRecursively(dataDir)
+    }
     val loRuns = legRuns.collect { case (c, j) if c == loCores => j }
     val hiRuns = legRuns.collect { case (c, j) if c == hiCores => j }
     val scaleReps = loRuns.size
@@ -535,6 +563,17 @@ object Bench {
     // under *_composite keys only)
     val efficiency = hiScale.edgesPerSec / (factor * lo.edgesPerSec)
     val efficiencyComp = loCompSec / (factor * hiCompSec)
+
+    // per-edge throughput ratio n_hi vs n_lo at fixed cores: ≥ ~1.0 means
+    // per-edge cost is flat-or-amortizing as data grows — the 100 TB axis
+    def dataJson: String =
+      if (dataRuns.isEmpty) """"data_scaling":null"""
+      else {
+        val best = dataRuns.maxBy(_.edgesPerSec)
+        s""""data_scaling":{"job":"harmonic_bitset_${scalePivots}pivots","cores":$hiCores,"n_lo":$scaleN,"n_hi":$dataN""" +
+        s""","eps_lo":${f"${hiScale.edgesPerSec}%.0f"},"eps_hi":${f"${best.edgesPerSec}%.0f"},"per_edge_ratio":${f"${best.edgesPerSec / hiScale.edgesPerSec}%.3f"}""" +
+        s""","sec_hi":${f"${best.sec}%.3f"},"reps":${dataRuns.size},"reps_eps":[${dataRuns.map(j => f"${j.edgesPerSec}%.0f").mkString(",")}]}"""
+      }
 
     def scalingJson: String =
       s""""scaling":{"job":"harmonic_bitset_${scalePivots}pivots_synth${scaleN}","cores_lo":$loCores,"cores_hi":$hiCores""" +
@@ -554,7 +593,7 @@ object Bench {
       val total = queries.map(_._2).filter(_ > 0).sum
       val jsonLine =
         s"""{"metric":"harmonic+pagerank(1e-6) headline + breadth, sec at local[$mainCores]","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
-        s""","methodology":"$methodology","partial":$partial,"budget_sec":$budget,"elapsed_sec":${f"$elapsed%.1f"},$extraBlocks,$scalingJson}"""
+        s""","methodology":"$methodology","partial":$partial,"budget_sec":$budget,"elapsed_sec":${f"$elapsed%.1f"},$extraBlocks,$scalingJson,$dataJson}"""
       // Belt and braces for the driver contract: the bare line on stdout is
       // the contract; the file is a recovery path if stdout is ever mangled.
       // Emitted after the scaling legs AND at the end, so a driver timeout

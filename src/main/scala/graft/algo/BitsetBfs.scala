@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * m-arc graph shuffle O(P·m) message rows per full visit. This variant
   * packs pivots into Long bitmasks — `maskCols` Longs of 64 bits each, so up
   * to 64·maskCols pivots advance in ONE wave — and packs VERTICES into
-  * chunks of 64: state is one row per chunk `(chunk, ns, vs)` where
-  * `ns`/`vs` are dense `array<long>` TILES of 64·maskCols elements, element
-  * `pos·maskCols + j` holding mask column j of vertex `chunk·64 + pos`
+  * chunks of [[ChunkSize]] (default 256, env `GRAFT_CHUNK_BITS`): state is
+  * one row per chunk `(chunk, ns, vs)` where `ns`/`vs` are dense
+  * `array<long>` TILES of ChunkSize·maskCols elements, element
+  * `pos·maskCols + j` holding mask column j of vertex `chunk·ChunkSize + pos`
   * (`ns` = bits newly set this superstep, `vs` = cumulative visited).
   *
   * Semantically identical to the reference's per-source BFS
@@ -41,20 +42,20 @@ import org.apache.spark.sql.functions._
   * 2 vs 8 cores the 8-core leg shuffled 3× the rows (13.5M vs 4.0M per
   * superstep at n=2M) at ~1μs/row of task time, the entire N→4N scaling
   * gap. Tile aggregation bounds map-side output at (populated chunks ≈
-  * n/64) ROWS per map task — 64× fewer rows, and the per-row costs (hash
+  * n/ChunkSize) ROWS per map task — ChunkSize× fewer rows, and the per-row costs (hash
   * probe, serialization, join plumbing) amortize over a 64·maskCols-element
   * array processed in tight codegen'd/JIT loops (`zip_with`, primitive
-  * buffer aggregators). Chunk granularity (64) is the combine-vs-tile-memory
+  * buffer aggregators). Chunk granularity (ChunkSize) is the combine-vs-tile-memory
   * trade: a map task's partial-agg map holds ≤ populated-chunks tiles
-  * (n/64 × 0.5 KB·maskCols worst case — bound map task input via
+  * (n/ChunkSize × 2 KB·maskCols worst case — bound map task input via
   * `maxPartitionBytes` at larger n, or shrink chunks).
   *
   * Consumers never see tiles unless they want them:
   *  - [[run]] explodes tiles back to the (pivot, id, dist) relation — once,
   *    after the iteration. O(P·n) output rows.
   *  - [[harmonic]]/[[farness]] aggregate the tile increments DIRECTLY —
-  *    64·maskCols counting cells per (wave, dist) via [[TileCountAgg]] over
-  *    n/64-row frames, so the per-pivot score costs O(n·maskCols/64) rows
+  *    64·maskCols counting cells per (wave, dist) via [[org.apache.spark.sql.graft.TileBitCountAgg]] over
+  *    n/ChunkSize-row frames, so the per-pivot score costs O(n·maskCols/ChunkSize) rows
   *    regardless of P — the 100 TB shape of "all per-source running sums
   *    become aggregates" (SURVEY.md §2.4 A3).
   *  - [[reverseSum]]/[[reverseMax]] and per-wave visited frames use
@@ -68,7 +69,31 @@ object BitsetBfs {
     * is read once.
     */
   private val ChunkBits = sys.env.getOrElse("GRAFT_CHUNK_BITS", "8").toInt
-  private val ChunkSize = 1 << ChunkBits
+  private[graft] val ChunkSize = 1 << ChunkBits
+
+  /** Message-aggregation placement (`GRAFT_SUPERSTEP_AGG`):
+    *  - `combine` (default): map-side partial tile aggregation before the
+    *    exchange — shuffle rows bounded at map tasks × populated chunks,
+    *    but every map task's partial map spans the FULL n·maskCols·8 B tile
+    *    space (concurrent random RMW working set ∝ cores × n — the term
+    *    StageProbe pinned the 2→8-core residual on).
+    *  - `repart`: exchange the RAW (chunk, pos, masks) message rows first,
+    *    then aggregate — each task's tile map holds only ITS hash(chunk)
+    *    range (total live RMW working set = n·maskCols·8 B, core-count-
+    *    INDEPENDENT), and the shuffle becomes sequential serialize/
+    *    deserialize traffic ∝ Σ deg(frontier) rows.
+    * Env-switchable for same-window A/B probes (round-5 scaling lever).
+    */
+  private val AggForm = sys.env.getOrElse("GRAFT_SUPERSTEP_AGG", "combine")
+
+  /** Pivot count at or below which the pivot index is numbered on the driver
+    * (ONE bounded collect) instead of via distributed rank minting — see
+    * [[waves]]. Package-private VAR so specs can lower it to force the
+    * large-P branch on a small pivot set and assert branch parity; both
+    * branches produce identical output, so a concurrent suite observing a
+    * lowered cap stays correct (just takes the distributed path).
+    */
+  private[graft] var smallPivotCap = 65536
 
   /** Message-aggregate form: mask columns as direct unboxed-ordinal children
     * (default; see [[org.apache.spark.sql.graft.TileAggs.tileOrCols]]) vs
@@ -198,27 +223,34 @@ object BitsetBfs {
     val arcs = fr
       .join(cadj, Seq("chunk", "pos"))
       .select(explode(col("neighbors")).as("dst") +: ms.map(col): _*)
+    // under `repart` the raw message rows are exchanged BEFORE aggregation:
+    // the groupBy's distribution requirement is then already satisfied, so
+    // Catalyst plans partial+final aggregation together in the post-shuffle
+    // stage and each task's tile map covers only its own hash(chunk) range
+    // (see [[AggForm]]). Plan still has exactly ONE Exchange per superstep.
+    def keyed(df: DataFrame): DataFrame =
+      if (AggForm == "repart") df.repartition(col("chunk")) else df
     val msgs =
       (if (TileCols)
-        arcs.select(
+        keyed(arcs.select(
             shiftright(col("dst"), ChunkBits).as("chunk") +:
               col("dst").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos") +:
-              ms.map(col): _*)
+              ms.map(col): _*))
           .groupBy("chunk")
           .agg(org.apache.spark.sql.graft.TileAggs
             .tileOrCols(col("pos"), ms.map(col), ChunkSize).as("atile"))
       else
-        arcs.select(
+        keyed(arcs.select(
             shiftright(col("dst"), ChunkBits).as("chunk"),
             col("dst").bitwiseAND(lit((ChunkSize - 1).toLong)).cast("int").as("pos"),
-            array(ms.map(col): _*).as("masks"))
+            array(ms.map(col): _*).as("masks")))
           .groupBy("chunk")
           .agg(org.apache.spark.sql.graft.TileAggs
             .tileOr(col("pos"), col("masks"), maskCols, ChunkSize).as("atile")))
     // visited test + visited update, fused into the co-partitioned merge
     // join (both sides hash(chunk)): two codegen'd zip_with lambdas over the
     // tiles, left outer keeps the state side's partitioning for the NEXT
-    // superstep's checkpoint to capture. n/64 state rows never re-shuffle.
+    // superstep's checkpoint to capture. n/ChunkSize state rows never re-shuffle.
     state.join(msgs.hint("shuffle_hash"), Seq("chunk"), "left")
       .select(col("chunk"),
         when(col("atile").isNull, zerosTile(maskCols))
@@ -247,18 +279,53 @@ object BitsetBfs {
       prepIn: Prep,
       chain: Int): Visit = {
 
-    // the tile aggregate's map-side hash map legitimately holds up to
-    // n/64 keys per task; the default ObjectHashAggregate fallback (128
-    // keys) would silently degrade every superstep to sort-based
-    // aggregation — sorting the raw message rows each superstep
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 22).toString)
-    // frontier ⋈ cadj joins on (chunk, pos) with BOTH sides
-    // hash(chunk)-partitioned — a key-subset co-partitioning Spark only
-    // accepts with this (conservative-by-default) flag off; without it
-    // EnsureRequirements re-exchanges both sides on (chunk, pos) every
-    // superstep, exactly the n-row reshuffle the tile layout removes
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // Two session confs the tile loop NEEDS while its supersteps plan+run;
+    // prior values are captured and restored on exit (round-4 advice: a
+    // permanent mutation silently changed spill/co-partition behavior of
+    // unrelated queries on the shared session). Restore is safe at the end
+    // of waves(): every superstep plan is materialized inside the loop, and
+    // the Visit's lazy increment/visited projections are plain scans +
+    // aggregates over checkpointed frames — neither conf affects them.
+    //  - fallbackThreshold: the tile aggregate's map-side hash map
+    //    legitimately holds up to n/ChunkSize keys per task; the default
+    //    ObjectHashAggregate fallback (128 keys) would silently degrade
+    //    every superstep to sort-based aggregation — sorting the raw
+    //    message rows each superstep.
+    //  - requireAllClusterKeysForCoPartition=false: frontier ⋈ cadj joins on
+    //    (chunk, pos) with BOTH sides hash(chunk)-partitioned — a key-subset
+    //    co-partitioning Spark only accepts with this (conservative-by-
+    //    default) flag off; without it EnsureRequirements re-exchanges both
+    //    sides on (chunk, pos) every superstep, exactly the n-row reshuffle
+    //    the tile layout removes.
+    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val CoPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val priorFallback = spark.conf.getOption(FallbackKey)
+    val priorCoPart = spark.conf.getOption(CoPartKey)
+    def restoreConfs(): Unit = {
+      def put(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      put(FallbackKey, priorFallback)
+      put(CoPartKey, priorCoPart)
+    }
+    spark.conf.set(FallbackKey,
+      sys.env.getOrElse("GRAFT_AGG_FALLBACK", (1 << 22).toString))
+    spark.conf.set(CoPartKey, "false")
+    try wavesBody(spark, adjacency, pivots, maskCols, maxIter, mat,
+      onSuperstep, onWaveVisited, prepIn, chain)
+    finally restoreConfs()
+  }
+
+  private def wavesBody(
+      spark: SparkSession,
+      adjacency: DataFrame,
+      pivots: DataFrame,
+      maskCols: Int,
+      maxIter: Int,
+      mat: Materializer,
+      onSuperstep: (Int, Long) => Unit,
+      onWaveVisited: (Int, DataFrame) => Unit,
+      prepIn: Prep,
+      chain: Int): Visit = {
 
     val waveBits = 64L * maskCols
     val ms = (0 until maskCols).map(j => s"m$j")
@@ -273,7 +340,6 @@ object BitsetBfs {
     //    legs can't parallelize away.
     //  - large-P path: distributed range minting — the Chechik sample at
     //    web scale is K·E[λ] ≈ ln(n)/ε² · E[λ] · n rows, too big to collect.
-    val smallPivotCap = 65536
     val distinctPivots = pivots.select(col("pivot").cast("long").as("pivot")).distinct()
     val collected = distinctPivots.limit(smallPivotCap + 1).collect()
     val (idx, nWaves) =
@@ -313,7 +379,7 @@ object BitsetBfs {
       // The pivot side is ≤ 64·maskCols chunk tiles — explicit broadcast, so
       // the init join preserves the chunk universe's partitioning. Chunks of
       // pivots absent from the adjacency (isolated) union in through one
-      // n/64-row distinct.
+      // n/ChunkSize-row distinct.
       val wavePivots = idx.where(col("wave") === w)
       val pivotTiles = wavePivots.select(
           shiftright(col("pivot"), ChunkBits).as("chunk"),
@@ -429,6 +495,11 @@ object BitsetBfs {
     *                  supplied — the visit then builds and frees its own).
     * @param pivots    one column `pivot: Long`.
     * @param maskCols  Long mask columns per wave (64 pivots each).
+    * @param onSuperstep (d, count) per superstep. NOTE: `count` is frontier
+    *                  CHUNK rows (tiles with any new bit), not frontier
+    *                  vertices — ~ChunkSize smaller than the row-BFS
+    *                  frontier size; cross-telemetry comparisons with
+    *                  pre-round-4 data must account for the unit change.
     * @param onWaveVisited called once per completed wave with the final
     *                  consolidated visited frame (id, m0..) — lets callers
     *                  derive whole-visit aggregates (e.g.
@@ -521,7 +592,7 @@ object BitsetBfs {
 
   /** Shared histogram assembly in two stages. The expensive pass reduces
     * each (wave, dist) group of tile increments to 64·maskCols integer bit
-    * counts via [[TileCountAgg]] — n/64 rows per frame, primitive-buffer
+    * counts via [[org.apache.spark.sql.graft.TileBitCountAgg]] — n/ChunkSize rows per frame, primitive-buffer
     * set-bit iteration. The tiny second stage — supersteps × 64·maskCols
     * rows — posexplodes the count cells, applies `weight(dist)`, sums per
     * (wave, mcol, mbit), and a broadcast join attaches the sums to the

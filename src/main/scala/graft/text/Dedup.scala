@@ -40,9 +40,12 @@ object Dedup {
   /** All pairs with n-gram Jaccard ≥ minJaccard (a, b, jaccard), a < b.
     * NOTE: capped shingles are excluded from union sizes too, so the score
     * is Jaccard over the capped shingle space — consistent on both sides.
+    * `hotShingleCap` defaults ON (100): the uncapped self-join fans out
+    * quadratically on hot shingles — the 100 TB killer; pass ≤ 0 to disable
+    * explicitly (exact small-corpus Jaccard).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.8, hotShingleCap: Int = 0): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.8, hotShingleCap: Int = 100): DataFrame = {
     val sh = docShingles(docs, idCol, textCol, n, hotShingleCap).localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("c"))
     val inter = sh.as("x").join(sh.as("y"),

@@ -8,13 +8,16 @@ import graft.data.Synth
 
 /** Ad-hoc probe for the Bench scaling leg (not part of the driver contract):
   * run the bitset-harmonic job on the synthetic graph at one core count.
-  * Usage: runMain graft.tools.ScaleProbe <cores> <nVertices> <pivots>
+  * Usage: runMain graft.tools.ScaleProbe <cores> <nVertices> <pivots> [maskCols]
+  * (maskCols < (pivots+63)/64 splits the visit into more, narrower waves —
+  * the round-5 per-task RMW working-set lever).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val cores = args.lift(0).map(_.toInt).getOrElse(8)
     val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val pivots = args.lift(2).map(_.toInt).getOrElse(512)
+    val maskColsArg = args.lift(3).map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions",
@@ -63,7 +66,7 @@ object ScaleProbe {
     val sources = deg.orderBy("id").limit(pivots).select(col("id").as("pivot"))
     t("bfs+harmonic") {
       BitsetBfs.harmonic(spark, adj, sources, prep = bprep,
-        maskCols = math.min(16, (pivots + 63) / 64),
+        maskCols = maskColsArg.getOrElse(math.min(16, (pivots + 63) / 64)),
         onSuperstep = (d, fs) => {
           steps += 1
           val now = System.nanoTime()

@@ -139,8 +139,15 @@ case class TileOrAgg(
   override def createAggregationBuffer(): Array[Long] = new Array[Long](chunkSize * maskCols)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val base = pos.eval(input).asInstanceOf[Int] * maskCols
-    val arr = masks.eval(input).asInstanceOf[ArrayData]
+    // fail loudly on null inputs: `null.asInstanceOf[Int]` unboxes to 0 and
+    // would silently OR the row into chunk slot 0 (round-4 advice). Current
+    // callers never produce nulls; this guards future nullable children.
+    val p = pos.eval(input)
+    val a = masks.eval(input)
+    if (p == null || a == null)
+      throw new IllegalStateException("tile_or: null pos/masks input row")
+    val base = p.asInstanceOf[Int] * maskCols
+    val arr = a.asInstanceOf[ArrayData]
     var j = 0
     while (j < maskCols) { buf(base + j) |= arr.getLong(j); j += 1 }
     buf
@@ -204,13 +211,28 @@ case class TileOrColsAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val ords = boundOrds
     if (ords != null) {
+      // null guard: one bitmap-word test per row (~1 cycle vs the DRAM RMW
+      // below) — a null pos would otherwise unbox to 0 and silently corrupt
+      // chunk slot 0 (round-4 advice). Fields other than (pos, masks) in the
+      // agg input row (the chunk key) are never null in any caller.
+      if (input.anyNull)
+        throw new IllegalStateException("tile_or_cols: null input field")
       val base = input.getInt(ords(0)) * maskCols
       var j = 0
       while (j < maskCols) { buf(base + j) |= input.getLong(ords(j + 1)); j += 1 }
     } else {
-      val base = pos.eval(input).asInstanceOf[Int] * maskCols
+      val p = pos.eval(input)
+      if (p == null)
+        throw new IllegalStateException("tile_or_cols: null pos input")
+      val base = p.asInstanceOf[Int] * maskCols
       var j = 0
-      while (j < maskCols) { buf(base + j) |= masks(j).eval(input).asInstanceOf[Long]; j += 1 }
+      while (j < maskCols) {
+        val m = masks(j).eval(input)
+        if (m == null)
+          throw new IllegalStateException("tile_or_cols: null mask input")
+        buf(base + j) |= m.asInstanceOf[Long]
+        j += 1
+      }
     }
     buf
   }

@@ -219,6 +219,25 @@ class AlgoSpec extends SparkTestBase {
     assert(bitsAll === rowsAll)
   }
 
+  test("large-P distributed pivot minting ≡ small-P driver fast path") {
+    // round-4 verdict #4: the distributed Rank.globalRank minting branch
+    // (the path a web-scale Chechik sample takes, P > 64k) only engaged
+    // above the cap, which no sf-level query reaches — force it by lowering
+    // the cap and assert bit-identical output on the same pivot set
+    val edges = erGraph(60, 0.07, seed = 17)
+    val adj = adjOf(edges)
+    val pivots = (0L until 8L).toDF("pivot")
+    def dists() = BitsetBfs.run(spark, adj, pivots, maskCols = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val small = dists() // default cap: driver-numbered local index
+    val prior = BitsetBfs.smallPivotCap
+    val large =
+      try { BitsetBfs.smallPivotCap = 4; dists() } // 8 pivots > 4 → globalRank
+      finally BitsetBfs.smallPivotCap = prior
+    assert(large === small)
+    assert(small.nonEmpty)
+  }
+
   test("chained supersteps: identical results and telemetry to the eager loop") {
     // long path ⇒ many supersteps; chain=4 chunks overshoot past the empty
     // frontier on the final chunk — results and reported (step, count)

@@ -51,8 +51,11 @@ class PlanSpec extends SparkTestBase {
     val prep = graft.algo.BitsetBfs.prepare(
       graft.core.Graph.adjacency(graft.core.Graph.symmetrize(
         Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L).toDF("src", "dst"))))
-    // one chunk tile, vertex 0's bit 0 newly set
-    val tile = (0 until 64).map(i => if (i == 0) 1L else 0L)
+    // one chunk tile at the REAL chunk width (round-4 advice: a 64-element
+    // fixture only passed because the plan was never run), vertex 0's bit 0
+    // newly set
+    val cs = graft.algo.BitsetBfs.ChunkSize
+    val tile = (0 until cs).map(i => if (i == 0) 1L else 0L)
     val state = org.apache.spark.sql.graft.CheckpointStats.strip(
       Seq((0L, tile, tile))
         .toDF("chunk", "ns", "vs")
@@ -65,6 +68,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
     // and the stripped checkpoint really carries its hash partitioning
     assert(plan.contains("Scan ExistingRDD"), plan)
+    // the asserted plan must also be EXECUTABLE: superstep 1 from vertex 0
+    // on the 0-1-2-3 cycle newly reaches vertices 1 and 3 (chunk 0 tile
+    // slots 1 and 3), with 0 already visited
+    val rows = next.collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val ns = rows.head.getSeq[Long](rows.head.fieldIndex("ns"))
+    assert(ns(1) == 1L && ns(3) == 1L && ns(0) == 0L && ns(2) == 0L, ns.take(4))
   }
 
   test("degree top-k plan is TakeOrderedAndProject, not a global sort") {

@@ -136,4 +136,19 @@ class ProgressiveSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("pivot"), r.getAs[Long]("id")) -> r.getAs[Int]("dist")).toMap
     assert(resumed === full)
   }
+
+  test("g18 bfs curve invariants (the permanent-oracle-exemption contract)") {
+    // g18's BFS counts come from seeded Spark-side sampling no SQL oracle
+    // can replay (SparkEntry comment at the query), so its driver row is
+    // rows-only FOREVER; every deterministic invariant an oracle would have
+    // checked is asserted here instead, on the real query at sf0.001.
+    val rows = SparkEntry.queries("g18_bfs_curve")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 20L, 40L, 100L)) // exact k grid
+    rows.foreach { r =>
+      val (total, apx, steps) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(total >= apx && apx >= 0.0, r.toString)
+      assert(total > 0.0 && steps > 0.0, r.toString)
+    }
+  }
 }

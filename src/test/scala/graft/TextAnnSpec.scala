@@ -57,6 +57,22 @@ class TextAnnSpec extends SparkTestBase {
     assert(lsh.subsetOf(jp)) // verified candidates can't exceed the exhaustive set
   }
 
+  test("jaccardPairs hot-shingle cap defaults ON (100) — the 100 TB guard") {
+    // round-4 verdict #3: the library default must match the SURVEY X2
+    // claim, so no future caller inherits the quadratic hot-shingle fan-out
+    val m = Dedup.getClass.getMethods
+      .find(_.getName == "jaccardPairs$default$6").get
+    assert(m.invoke(Dedup) === 100)
+    // and on a corpus with no hot shingles the capped default is identical
+    // to the explicit uncapped run
+    val withDefault = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5,
+        hotShingleCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(withDefault === uncapped)
+  }
+
   test("simhash: identical texts same signature, near-dups close in hamming") {
     val s = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sig")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
