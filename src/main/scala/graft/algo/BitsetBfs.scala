@@ -647,11 +647,20 @@ object BitsetBfs {
 
   /** The reverse-direction aggregate: per wave, the ≤ 64·maskCols per-pivot
     * divisors are collected (bounded by the WAVE width, never the pivot
-    * count) into per-mask-column array literals, and each increment row
-    * (via the [[idRows]] projection) folds its set bits through the array
-    * with a codegen'd `aggregate` lambda — O(n·maskCols) row passes per wave
-    * for ANY pivot count, vs the O(P·n) rows of a row-BFS accumulation.
-    * Ratios are computed d / div in double, bit-identical to the row form.
+    * count) into per-byte lookup-table literals, and each increment row
+    * (via the [[idRows]] projection) folds its set bits through the tables
+    * with codegen'd `element_at` lookups — O(n·maskCols) row passes per
+    * wave for ANY pivot count, vs the O(P·n) rows of a row-BFS
+    * accumulation. History (round-4 verdict #5): this fold was an
+    * `aggregate` higher-order-function lambda, which is `CodegenFallback`
+    * (interpreted) — `graft.tools.ReverseProbe` measured it at 96.8 s
+    * against the 28.7 s visit feeding it (n=2M, 512 pivots, 8 cores); the
+    * byte-LUT form replaced it, same-window A/B in BASELINE.md round 5.
+    * Ratios are dist · (1/div) in double — equal to the row form's
+    * d / div up to FP re-association (the byte tables pre-reduce on the
+    * driver; the row form's shuffle `sum` is order-nondeterministic anyway,
+    * so neither form promises a bit pattern, and specs/oracles compare at
+    * tolerance / 6 dp).
     * Pivots missing from `divisors` (e.g. F(s) = 0 sources, excluded by
     * ChechikEstimator.java:52) are stored as divisor 0 and skipped by the
     * fold; rows whose set bits are ALL divisor-less are filtered out
@@ -688,22 +697,39 @@ object BitsetBfs {
           idRows(inc, "tile", ms.size)
             .select(lit(d).as("dist") +: col("id") +: ms.map(col): _*)
         }.reduce(_ unionAll _).where(qualPred)
-        val withArrs = ms.indices.foldLeft(body) { (df, j) =>
-          df.withColumn(s"arr$j",
-            typedLit((0 until 64).map(b => divs.getOrElse((j, b), 0.0))))
-        }
-        val op = if (max) "greatest(acc, %s)" else "acc + %s"
+        // A set bit contributes dist · inv(b) (inv = 1/div, 0 where the
+        // pivot doesn't qualify — div is positive in every caller:
+        // keep-probabilities, farness, offsets). Fold each 64-bit mask
+        // through EIGHT 256-entry byte lookup tables pre-reduced on the
+        // driver (byte value → sum or max of inv over its bits) instead of
+        // a 64-step `aggregate` lambda: higher-order functions are
+        // CodegenFallback (interpreted), while element_at on an array
+        // literal is codegen'd — 8 compiled lookups per mask column keep
+        // the row term inside whole-stage codegen. ReverseProbe (n=2M,
+        // 512 pivots, 8 cores) measured the lambda form at 96.8 s against
+        // the 28.7 s visit feeding it; see BASELINE.md round 5.
         val term = ms.zipWithIndex.map { case (m, j) =>
-          val contrib =
-            s"IF((($m >> b) & 1) = 1 AND element_at(arr$j, b + 1) != 0D, " +
-              s"CAST(dist AS DOUBLE) / element_at(arr$j, b + 1), 0D)"
-          expr(s"aggregate(sequence(0, 63), 0D, (acc, b) -> ${op.format(contrib)})")
+          val inv = (0 until 64).map { b =>
+            val dv = divs.getOrElse((j, b), 0.0)
+            if (dv != 0.0) 1.0 / dv else 0.0
+          }
+          val bytes = (0 until 8).map { k =>
+            val lut = (0 until 256).map { x =>
+              val vals = (0 until 8).collect { case b if ((x >> b) & 1) == 1 => inv(8 * k + b) }
+              if (max) { if (vals.isEmpty) 0.0 else vals.max } else vals.sum
+            }
+            element_at(typedLit(lut),
+              shiftright(col(m), 8 * k).bitwiseAND(lit(255L)).cast("int") + 1)
+          }
+          if (max) { if (bytes.size == 1) bytes.head else greatest(bytes: _*) }
+          else bytes.reduce(_ + _)
         }
-        val rowTerm =
+        val combined =
           if (!max) term.reduce(_ + _)
           else if (term.size == 1) term.head
           else greatest(term: _*)
-        Some(withArrs.select(col("id"), rowTerm.as("t")))
+        Some(body.select(col("id"),
+          (col("dist").cast("double") * combined).as("t")))
       }
     }
     perWave.reduceOption(_ unionAll _) match {
