@@ -12,6 +12,12 @@ import pandas as pd
 
 def load(sf_dir, out_dir):
     con = duckdb.connect()
+    # Bound DuckDB so heavy recursive-CTE oracles (g12 at sf0.1 needs >95 GB
+    # unbounded — OOM-killed 2026-08-19) spill to disk instead of taking the
+    # host down. Override via CHECK_MEM_GB.
+    mem_gb = os.environ.get("CHECK_MEM_GB", "40")
+    con.sql(f"SET memory_limit='{mem_gb}GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
