@@ -120,7 +120,8 @@ object StageProbe {
           println(f"[stageprobe]   stage=$id%4d wall=${r.wall / 1e3}%6.2fs tasks=${r.tasks}%3d " +
             f"straggler=${if (mean > 0) r.maxRun / mean else 0.0}%.2f " +
             f"cpu/run=${if (r.run > 0) r.cpu.toDouble / r.run else 0.0}%.3f " +
-            f"swRecs=${r.swRecs} srRecs=${r.srRecs}")
+            f"gc=${if (r.run > 0) r.gc.toDouble / r.run else 0.0}%.3f " +
+            f"cpuSec=${r.cpu / 1e3}%.1f swRecs=${r.swRecs} srRecs=${r.srRecs}")
         }
       } finally {
         spark.stop()
