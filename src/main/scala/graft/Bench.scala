@@ -565,14 +565,26 @@ object Bench {
     val dataCores = sys.env.getOrElse("SPARK_GRAFT_DATA_CORES",
       (if (secondaryOn) hi2Cores else hiCores).toString).toInt
     var dataRuns = Vector.empty[Job]
-    if (dataScaleOn && elapsed + pairSec * 2.2 < budget * 0.72) {
+    // cost estimate from MEASURED legs, not the whole leg round: one data
+    // rep ≈ best dataCores leg × (dataN/scaleN) × 1.35 per-edge margin,
+    // plus ~25 μs/vertex for the 32-core graph prep (the old pairSec×2.2
+    // estimate skipped the block in a run that then finished with 900 s of
+    // budget unused). Headroom fence 0.80: the headline's own rep counts
+    // are budget-aware, and the legs' partial JSON is already emitted.
+    val dataLegEst = {
+      val base = legRuns.collect { case (c, j) if c == dataCores => j.sec }
+      val perRep =
+        if (base.nonEmpty) base.min * (dataN.toDouble / scaleN) * 1.35 else pairSec
+      25e-6 * dataN + perRep
+    }
+    if (dataScaleOn && elapsed + dataLegEst < budget * 0.80) {
       val dataDir = prepScaleDir(dataN, shuffleMult)
       try {
         var continue = true
         while (continue) {
           val (j, sec) = time(scaleLegDir(dataCores, dataDir))
           dataRuns :+= j
-          continue = dataRuns.size < dataRepCap && elapsed + sec * 1.1 < budget * 0.72
+          continue = dataRuns.size < dataRepCap && elapsed + sec * 1.1 < budget * 0.80
         }
       } finally deleteRecursively(dataDir)
     }
@@ -623,9 +635,21 @@ object Bench {
       val hiComp = compositeSec(hiR)
       val eff = h.edgesPerSec / (f * l.edgesPerSec)
       val effComp = loComp / (f * hiComp)
+      // same-round pairing (legs of one rep round run back-to-back, so
+      // index i of loR and hiR share a window): the primary best-of-legs
+      // ratio mixes windows and can only be DEFLATED by a clean lo rep;
+      // paired ratios cancel common-mode window noise. Median is the
+      // robust summary; best is the cleanest window's reading.
+      val paired = (0 until math.min(loR.size, hiR.size))
+        .map(i => hiR(i).edgesPerSec / (f * loR(i).edgesPerSec)).sorted
+      val pairedMed =
+        if (paired.isEmpty) 0.0
+        else if (paired.size % 2 == 1) paired(paired.size / 2)
+        else (paired(paired.size / 2 - 1) + paired(paired.size / 2)) / 2
       s""""$name":{"job":"harmonic_bitset_${scalePivots}pivots_synth${scaleN}","cores_lo":$loC,"cores_hi":$hiC""" +
       s""","sec_lo":${f"${l.sec}%.3f"},"sec_hi":${f"${h.sec}%.3f"},"edges_per_sec_lo":${f"${l.edgesPerSec}%.0f"},"edges_per_sec_hi":${f"${h.edgesPerSec}%.0f"}""" +
       s""","factor":$f,"efficiency":${f"$eff%.3f"},"efficiency_vs_ceiling":${f"${eff / cl.ceiling}%.3f"}""" +
+      s""","efficiency_paired_best":${f"${paired.lastOption.getOrElse(0.0)}%.3f"},"efficiency_paired_median":${f"$pairedMed%.3f"}""" +
       s""","sec_lo_composite":${f"$loComp%.3f"},"sec_hi_composite":${f"$hiComp%.3f"},"efficiency_composite":${f"$effComp%.3f"}""" +
       s""","hw_ceiling":${f"${cl.ceiling}%.3f"},"hw_ceiling_cpu":${f"${cl.cpu}%.3f"},"hw_ceiling_cpu_raw":${f"${cl.cpuRaw}%.3f"},"hw_ceiling_mem":${f"${cl.mem}%.3f"},"hw_ceiling_mem_raw":${f"${cl.memRaw}%.3f"},"hw_ceiling_rmw":${f"${cl.rmw}%.3f"},"hw_ceiling_rmw_raw":${f"${cl.rmwRaw}%.3f"}""" +
       s""","reps":${loR.size},"pinning":$pinningOk,"shuffle_mult":$shuffleMult""" +
