@@ -458,8 +458,10 @@ object Bench {
     val secondaryOn = lo2Cores > 0 && hi2Cores > 0 &&
       (lo2Cores != loCores || hi2Cores != hiCores)
     // secondary reps are capped (historical-continuity evidence, not the
-    // primary claim) so the budget feeds primary reps once it's covered
-    val scale2RepCap = sys.env.getOrElse("SPARK_GRAFT_SCALE2_REPS", "3").toInt
+    // primary claim) so the budget feeds primary reps once it's covered:
+    // a primary-only round costs ~193 s where a dual round costs ~300 s,
+    // so capping at 2 buys a clean window roughly one extra primary rep
+    val scale2RepCap = sys.env.getOrElse("SPARK_GRAFT_SCALE2_REPS", "2").toInt
     val mainCores = 32
 
     var pinningOk = true
@@ -639,7 +641,12 @@ object Bench {
       // index i of loR and hiR share a window): the primary best-of-legs
       // ratio mixes windows and can only be DEFLATED by a clean lo rep;
       // paired ratios cancel common-mode window noise. Median is the
-      // robust summary; best is the cleanest window's reading.
+      // robust summary; best is the cleanest window's reading — but legs
+      // of a round are ADJACENT, not simultaneous, so a window shift
+      // between them can push a single paired ratio past 1 (run 13b
+      // measured 1.018 when a throttle burst hit only the lo leg); the
+      // full per-round array ships so no single statistic has to be
+      // trusted blind.
       val paired = (0 until math.min(loR.size, hiR.size))
         .map(i => hiR(i).edgesPerSec / (f * loR(i).edgesPerSec)).sorted
       val pairedMed =
@@ -650,6 +657,7 @@ object Bench {
       s""","sec_lo":${f"${l.sec}%.3f"},"sec_hi":${f"${h.sec}%.3f"},"edges_per_sec_lo":${f"${l.edgesPerSec}%.0f"},"edges_per_sec_hi":${f"${h.edgesPerSec}%.0f"}""" +
       s""","factor":$f,"efficiency":${f"$eff%.3f"},"efficiency_vs_ceiling":${f"${eff / cl.ceiling}%.3f"}""" +
       s""","efficiency_paired_best":${f"${paired.lastOption.getOrElse(0.0)}%.3f"},"efficiency_paired_median":${f"$pairedMed%.3f"}""" +
+      s""","reps_paired_eff":[${paired.map(p => f"$p%.3f").mkString(",")}]""" +
       s""","sec_lo_composite":${f"$loComp%.3f"},"sec_hi_composite":${f"$hiComp%.3f"},"efficiency_composite":${f"$effComp%.3f"}""" +
       s""","hw_ceiling":${f"${cl.ceiling}%.3f"},"hw_ceiling_cpu":${f"${cl.cpu}%.3f"},"hw_ceiling_cpu_raw":${f"${cl.cpuRaw}%.3f"},"hw_ceiling_mem":${f"${cl.mem}%.3f"},"hw_ceiling_mem_raw":${f"${cl.memRaw}%.3f"},"hw_ceiling_rmw":${f"${cl.rmw}%.3f"},"hw_ceiling_rmw_raw":${f"${cl.rmwRaw}%.3f"}""" +
       s""","reps":${loR.size},"pinning":$pinningOk,"shuffle_mult":$shuffleMult""" +
