@@ -82,11 +82,20 @@ object Components {
         .unionAll(withM.select(col("src"), col("m").as("dst")))
         .distinct()
       val state = mat.iterateDeferred(ss, iter, -1.0)
-      val newCount = state.count() // materializing action — one job
-      // fixpoint ⇔ the edge SET is unchanged; counts differ ⇒ changed for
-      // free, else one anti-join scalar job decides
-      converged = newCount == edgeCount &&
-        state.join(edges, Seq("src", "dst"), "left_anti").count() == 0L
+      // fixpoint ⇔ the edge SET is unchanged. ONE materializing job per
+      // round (round 6): count the new state AND its rows absent from the
+      // previous set in the same aggregate — a co-partitioned left-outer
+      // probe of two distinct'd (hence duplicate-free) frames — instead of
+      // a count job plus, on equal counts, a second anti-join job.
+      // newCount == edgeCount && nothing-fresh ⇔ set equality.
+      val chk = state
+        .join(edges.select(col("src"), col("dst"), lit(1).as("__old")),
+          Seq("src", "dst"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("__old").isNull, 1)).as("fresh"))
+        .head()
+      val newCount = chk.getLong(0)
+      converged = newCount == edgeCount && chk.getLong(1) == 0L
       edges = state
       edgeCount = newCount
       onSuperstep(iter, newCount)

@@ -14,21 +14,29 @@ import org.apache.spark.sql.functions._
   * scalar frontier counts.
   *
   * State relation: V(pivot, id, dist, isNew) — the full distance relation so
-  * far, with `isNew` marking the current frontier. The superstep FUSES
-  * message aggregation, dedup, the visited test, and the visited update into
-  * a single union + groupBy:
+  * far, with `isNew` marking the current frontier. The superstep aggregates
+  * ONLY the new messages and merges them into the co-partitioned state:
   *
-  *   V' = (V[isNew := false] ∪ messages(frontier)[isNew := true])
-  *          .groupBy(pivot, id).agg(min(dist), bool_and(isNew))
+  *   M  = messages(frontier).groupBy(pivot, id).agg(min(dist))
+  *   V' = V ⟗ M on (pivot, id):
+  *          dist = coalesce(V.dist, M.dist), isNew = V.dist IS NULL
   *
-  * min(dist) keeps the first-discovery distance (old rows always carry a
-  * smaller dist than this superstep's messages), and bool_and(isNew) is true
-  * exactly when NO old row exists — the distributed `distance[s] == -1` test
-  * (GeometricCentralities.java:165,176-178). One job, one shuffle of
-  * |V| + Σ deg(frontier) rows per superstep — the round-2 shape (message
-  * groupBy + anti-join + separate visited-consolidation job) paid two jobs
-  * and roughly twice the n-row shuffle traffic per superstep, fixed cost
-  * that capped N→4N scaling efficiency.
+  * V.dist ≤ d < M.dist = d+1 wherever both sides match, so the coalesce IS
+  * the min-dist/first-discovery rule, and a NULL state side is the
+  * distributed `distance[s] == -1` test
+  * (GeometricCentralities.java:165,176-178). One job, ONE exchange of
+  * Σ deg(frontier) message rows per superstep: the state stays
+  * hash(pivot, id)-partitioned across checkpoints (CheckpointStats.strip
+  * keeps `outputPartitioning`), the message aggregate lands on the same
+  * keys, and the full-outer merge is a co-partitioned shuffled-hash join —
+  * the accumulated |V| rows NEVER re-enter an exchange. The pre-round-6
+  * shape (state ∪ messages → one big groupBy) re-shuffled |V| + Σ deg rows
+  * every superstep: at a 1266-pivot Chechik sample visit over the sf0.1
+  * sparse graph that was ~19M state rows × 11 supersteps of pure re-hash
+  * traffic, measured 18.4 s vs the merge form's messages-only exchange
+  * (OPTIMIZATION_r06.md). The round-2 shape (message groupBy + anti-join +
+  * separate visited-consolidation job) paid two jobs and roughly twice
+  * again that traffic.
   *
   * The dist=0 row is the source itself (the reference excludes the source
   * from distance sums but counts it as reachable —
@@ -74,18 +82,28 @@ object MultiBfs {
         (0, st, n)
     }
 
-    // single-reference superstep (STATS DISCIPLINE: see PageRank scaladoc)
+    // The superstep references `prev` TWICE (frontier extraction + the merge
+    // join), so inherited checkpoint stats would SQUARE each iteration —
+    // every materialized state is stripped (see CheckpointStats scaladoc),
+    // and because stripped frames carry defaultSizeInBytes the merge join
+    // must say shuffle_hash explicitly (messages build side: bounded by
+    // Σ deg(frontier), always ≤ the accumulated state it probes).
+    def strip(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.CheckpointStats.strip(df)
     def step(prev: DataFrame): DataFrame = {
       val frontier = prev.where(col("isNew"))
       val msgs = frontier
         .join(adjacency, frontier("id") === adjacency("src"))
         .select(col("pivot"), explode(col("neighbors")).as("id"),
-          (col("dist") + 1).as("dist"), lit(true).as("isNew"))
-      prev
-        .select(col("pivot"), col("id"), col("dist"), lit(false).as("isNew"))
-        .unionAll(msgs)
+          (col("dist") + 1).as("md"))
         .groupBy("pivot", "id")
-        .agg(min("dist").as("dist"), bool_and(col("isNew")).as("isNew"))
+        .agg(min("md").as("md"))
+      prev
+        .select(col("pivot"), col("id"), col("dist").as("pd"))
+        .join(msgs.hint("shuffle_hash"), Seq("pivot", "id"), "full_outer")
+        .select(col("pivot"), col("id"),
+          coalesce(col("pd"), col("md")).as("dist"),
+          col("pd").isNull.as("isNew"))
     }
 
     // Chained loop (see Materializer.chainCapacity): u supersteps built as
@@ -106,14 +124,14 @@ object MultiBfs {
         // plus-filtered-count job per superstep
         d += 1
         val (st, cnt) = mat.iterateCountedWhere(step(state), d, frontierRows.toDouble, col("isNew"))
-        state = st
+        state = strip(st)
         frontierRows = cnt
         onSuperstep(d, frontierRows)
       } else {
         var built = Vector.empty[DataFrame]
         var s = state
         for (k <- 1 to u) {
-          s = mat.iterateDeferred(step(s), d + k, -1.0)
+          s = strip(mat.iterateDeferred(step(s), d + k, -1.0))
           built :+= s
         }
         val counts = built.zipWithIndex

@@ -1,6 +1,5 @@
 package graft.algo
 
-import graft.core.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,7 +20,14 @@ object Triangles {
     * UNDIRECTED edge set given in canonical u<v form.
     */
   def orient(canonEdges: DataFrame): DataFrame = {
-    val deg = Graph.degrees(Graph.symmetrize(canonEdges))
+    // degree straight off the canonical form (round 6): each undirected edge
+    // contributes one endpoint row per side, and canonical u<v rows are
+    // unique with u ≠ v, so the explode-count IS degrees(symmetrize(...)) —
+    // without materializing the 2m-row symmetrized table through its
+    // distinct exchange just to count it.
+    val deg = canonEdges
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
     val ds = deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg")
     val dd = deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg")
     canonEdges

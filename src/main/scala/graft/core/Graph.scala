@@ -20,10 +20,26 @@ object Graph {
   /** Undirected closure: arcs ∪ reversed arcs, dedup — the reference applies
     * `Transform.symmetrize` before every algorithm (Main.java:58,
     * GraphReader.java:40, ExactCloseness.java:25). Load-bearing semantics.
+    *
+    * Shape (round 6, guide §2.3 "shuffle fewer bytes"): dedup the CANONICAL
+    * orientation (least, greatest) — m rows through the distinct exchange —
+    * then mirror the non-loop rows back. The mirrored halves are disjoint by
+    * construction (src < dst vs src > dst), so the union needs no second
+    * dedup; the pre-round-6 form deduped arcs ∪ reversed arcs, 2m rows
+    * through the exchange plus a second scan of the input. Identical result
+    * set for any edge table with non-null endpoints (vertex ids are non-null
+    * everywhere in this engine; least/greatest would otherwise skip a null
+    * endpoint where the union form kept the row).
     */
   def symmetrize(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val canon = e
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    canon.unionAll(
+      canon.where(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** P6 — transpose: negative/in- centralities on a digraph are positive/
@@ -75,19 +91,30 @@ object Graph {
     * partitioning (adjacency side never re-shuffles).
     */
   def adjacency(symEdges: DataFrame, maxSlice: Int = 1 << 16): DataFrame = {
-    val deg = symEdges.groupBy("src").agg(count(lit(1)).as("degree"))
+    // ONE exchange (round 6, guide §2.4 "remove shuffles outright"): hash the
+    // edge rows by src first; the degree aggregate, the degree join and the
+    // (src, salt) slice aggregate are all then satisfied by that single
+    // partitioning — hash(src) clusters every (src, salt) group, and the
+    // degree branch reuses the same shuffle output (ReusedExchange). The
+    // aggregate's output partitioning IS hash(src), which the old shape
+    // re-established with a trailing repartition — a full exchange of the
+    // built neighbor arrays (the heaviest rows in the engine). Pre-round-6:
+    // degree-agg exchange + slice-agg exchange + array repartition; now: one
+    // edge-row exchange. The shuffle_hash hint keeps SMJ from sorting the
+    // edge rows under stats-free inputs (broadcast-ineligible at scale:
+    // degree rows ∝ vertex count).
+    val e = symEdges.repartition(col("src"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("degree"))
     val nSlices =
       when(col("degree") <= maxSlice, lit(1L))
         .otherwise(ceil(col("degree") * lit(2.0) / maxSlice).cast("long"))
-    symEdges
-      .join(deg, "src")
+    e.join(deg.hint("shuffle_hash"), "src")
       .withColumn("salt", pmod(xxhash64(col("dst")), nSlices).cast("int"))
       .groupBy("src", "salt")
       .agg(
         sort_array(collect_list(col("dst"))).as("neighbors"),
         first("degree").as("degree"))
       .select("src", "salt", "neighbors", "degree")
-      .repartition(col("src"))
   }
 
   /** Dense vertex-ID minting: external string IDs → 0..n-1 (reference

@@ -74,9 +74,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rows: Int = 2,
       minJaccard: Double = 0.8): DataFrame = {
+    // materialize the shingle relation once (round 6): sig, the bucket
+    // self-join (both sides) and the verification joins all re-derived the
+    // scan + shingling lazily — ~6 computations of the tokenize/distinct
+    // per document. One checkpoint each for the shingles and the (small)
+    // bucket relation cuts that to one.
     val withSh = docs
       .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val sig = withSh.select(
       col("id"),
       array((0 until bands * rows).map(i => minhash(col("sh"), i)): _*).as("sig"))
@@ -85,6 +91,7 @@ object Dedup {
         md5(concat_ws("|", (0 until rows).map(r => col("sig")(b * rows + r)): _*)).as("bucket"))
     }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .localCheckpoint(true)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
