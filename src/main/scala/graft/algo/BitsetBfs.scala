@@ -95,6 +95,14 @@ object BitsetBfs {
     */
   private[graft] var smallPivotCap = 65536
 
+  /** All-zero tiles stored as NULL (round 6 default): quiet chunks (no new
+    * bits this superstep / never visited) carry NULL instead of a
+    * materialized ChunkSize·maskCols zero array — less checkpoint DRAM
+    * traffic on the non-peak supersteps and no allocation churn in the seed
+    * stage. `0` restores the dense-array form for same-window A/B probes.
+    */
+  private val NullTiles = sys.env.getOrElse("GRAFT_NULL_TILES", "1") != "0"
+
   /** Message-aggregate form: mask columns as direct unboxed-ordinal children
     * (default; see [[org.apache.spark.sql.graft.TileAggs.tileOrCols]]) vs
     * one `array(...)` child. Same-window A/B (BASELINE.md): the unboxed
@@ -164,12 +172,12 @@ object BitsetBfs {
   private def nonZeroCols(cols: Seq[String]): Column =
     cols.map(c => col(c) =!= 0L).reduce(_ || _)
 
-  /** Any bit set anywhere in the tile — the frontier/visited row predicate. */
+  /** Any bit set anywhere in the tile — the frontier/visited row predicate.
+    * NULL tiles (all-zero since round 6, see [[superstep]]) yield NULL and
+    * are filtered by `where` exactly like an explicit zero tile.
+    */
   private def tileNonZero(tileCol: String): Column =
     exists(col(tileCol), _ =!= 0L)
-
-  private def zerosTile(maskCols: Int): Column =
-    array_repeat(lit(0L), ChunkSize * maskCols)
 
   /** Lazy tile → per-vertex projection: (chunk, `tileCol`) rows to
     * (id, m0..m{mc-1}) rows for every vertex with any bit set. Chunk slots
@@ -250,10 +258,29 @@ object BitsetBfs {
     // visited test + visited update, fused into the co-partitioned merge
     // join (both sides hash(chunk)): two codegen'd zip_with lambdas over the
     // tiles, left outer keeps the state side's partitioning for the NEXT
-    // superstep's checkpoint to capture. n/ChunkSize state rows never re-shuffle.
-    state.join(msgs.hint("shuffle_hash"), Seq("chunk"), "left")
-      .select(col("chunk"),
-        when(col("atile").isNull, zerosTile(maskCols))
+    // superstep's checkpoint to capture. n/ChunkSize state rows never
+    // re-shuffle. ALL-ZERO TILES ARE NULL (round 6): a chunk with no
+    // incoming messages stores ns = NULL instead of a materialized
+    // ChunkSize·maskCols zero array, and a never-visited chunk stores
+    // vs = NULL — the checkpointed state then carries ~2–32 KB per QUIET
+    // chunk less per superstep (most chunks are quiet outside the 2–3 peak
+    // supersteps), and the init/seed stage allocates no zero arrays at all
+    // (StageProbe r5 measured that stage at 19–49 % GC from exactly this
+    // churn). `tileNonZero` treats NULL like zero, so frontier extraction,
+    // increments, idRows and the wave loop see the identical row sets.
+    val joined = state.join(msgs.hint("shuffle_hash"), Seq("chunk"), "left")
+    if (NullTiles)
+      joined.select(col("chunk"),
+        when(col("atile").isNull, lit(null))
+          .when(col("vs").isNull, col("atile"))
+          .otherwise(expr("zip_with(atile, vs, (a, v) -> a & ~v)")).as("ns"),
+        when(col("atile").isNull, col("vs"))
+          .when(col("vs").isNull, col("atile"))
+          .otherwise(expr("zip_with(vs, atile, (v, a) -> v | a)")).as("vs"))
+    else
+      // pre-round-6 dense form, byte-for-byte (A/B only; init0 is dense too)
+      joined.select(col("chunk"),
+        when(col("atile").isNull, array_repeat(lit(0L), ChunkSize * maskCols))
           .otherwise(expr("zip_with(atile, vs, (a, v) -> a & ~v)")).as("ns"),
         when(col("atile").isNull, col("vs"))
           .otherwise(expr("zip_with(vs, atile, (v, a) -> v | a)")).as("vs"))
@@ -392,10 +419,13 @@ object BitsetBfs {
       val allChunks = prep.chunks
         .unionAll(wavePivots.select(shiftright(col("pivot"), ChunkBits).as("chunk")))
         .distinct()
+      // non-pivot chunks init as NULL tiles (= all-zero; see superstep) —
+      // the seed stage materializes no zero arrays
+      def initTile =
+        if (NullTiles) col("ptile")
+        else coalesce(col("ptile"), array_repeat(lit(0L), ChunkSize * maskCols))
       val init0 = allChunks.join(broadcast(pivotTiles), Seq("chunk"), "left")
-        .select(col("chunk"),
-          coalesce(col("ptile"), zerosTile(maskCols)).as("ns"),
-          coalesce(col("ptile"), zerosTile(maskCols)).as("vs"))
+        .select(col("chunk"), initTile.as("ns"), initTile.as("vs"))
       // a vertex can be several pivots only across waves, never within (idx
       // distinct). NOTE: state frames carry NO dist column — the superstep d
       // lives in the `incs` tuples (see superstep scaladoc).
