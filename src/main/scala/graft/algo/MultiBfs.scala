@@ -25,18 +25,25 @@ import org.apache.spark.sql.functions._
   * the min-dist/first-discovery rule, and a NULL state side is the
   * distributed `distance[s] == -1` test
   * (GeometricCentralities.java:165,176-178). One job, ONE exchange of
-  * Σ deg(frontier) message rows per superstep: the state stays
-  * hash(pivot, id)-partitioned across checkpoints (CheckpointStats.strip
-  * keeps `outputPartitioning`), the message aggregate lands on the same
-  * keys, and the full-outer merge is a co-partitioned shuffled-hash join —
-  * the accumulated |V| rows NEVER re-enter an exchange. The pre-round-6
-  * shape (state ∪ messages → one big groupBy) re-shuffled |V| + Σ deg rows
-  * every superstep: at a 1266-pivot Chechik sample visit over the sf0.1
-  * sparse graph that was ~19M state rows × 11 supersteps of pure re-hash
-  * traffic, measured 18.4 s vs the merge form's messages-only exchange
-  * (OPTIMIZATION_r06.md). The round-2 shape (message groupBy + anti-join +
-  * separate visited-consolidation job) paid two jobs and roughly twice
-  * again that traffic.
+  * Σ deg(frontier) message rows per superstep: the message aggregate lands
+  * on hash(pivot, id), and the merge is a co-partitioned shuffled-hash
+  * full-outer join whose state side re-enters NO exchange — the accumulated
+  * |V| rows never re-shuffle. Keeping the state side exchange-free needs an
+  * ASSERTED partitioning: the full-outer USING join emits
+  * `coalesce(l.k, r.k) AS k`, which Catalyst cannot trace to either input,
+  * so the checkpoint records UnknownPartitioning even though every row
+  * physically sits in its hash(pivot, id) partition —
+  * [[org.apache.spark.sql.graft.CheckpointStats.stripHashPartitioned]]
+  * restores the truth, and the loop pins AQE off for its duration (capture/
+  * restore, as BitsetBfs.waves does for its two confs) so no runtime
+  * coalesce/skew rewrite can invalidate the assertion. The pre-round-6
+  * shape (state ∪ messages → one big groupBy) re-shuffled AND re-aggregated
+  * |V| + Σ deg rows every superstep: at a 1266-pivot Chechik sample visit
+  * over the sf0.1 sparse graph that was ~19M state rows × 11 supersteps of
+  * pure re-hash traffic, measured 18.4 s vs the merge form's messages-only
+  * exchange (OPTIMIZATION_r06.md). The round-2 shape (message groupBy +
+  * anti-join + separate visited-consolidation job) paid two jobs and
+  * roughly twice again that traffic.
   *
   * The dist=0 row is the source itself (the reference excludes the source
   * from distance sums but counts it as reachable —
@@ -82,30 +89,6 @@ object MultiBfs {
         (0, st, n)
     }
 
-    // The superstep references `prev` TWICE (frontier extraction + the merge
-    // join), so inherited checkpoint stats would SQUARE each iteration —
-    // every materialized state is stripped (see CheckpointStats scaladoc),
-    // and because stripped frames carry defaultSizeInBytes the merge join
-    // must say shuffle_hash explicitly (messages build side: bounded by
-    // Σ deg(frontier), always ≤ the accumulated state it probes).
-    def strip(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.CheckpointStats.strip(df)
-    def step(prev: DataFrame): DataFrame = {
-      val frontier = prev.where(col("isNew"))
-      val msgs = frontier
-        .join(adjacency, frontier("id") === adjacency("src"))
-        .select(col("pivot"), explode(col("neighbors")).as("id"),
-          (col("dist") + 1).as("md"))
-        .groupBy("pivot", "id")
-        .agg(min("md").as("md"))
-      prev
-        .select(col("pivot"), col("id"), col("dist").as("pd"))
-        .join(msgs.hint("shuffle_hash"), Seq("pivot", "id"), "full_outer")
-        .select(col("pivot"), col("id"),
-          coalesce(col("pd"), col("md")).as("dist"),
-          col("pd").isNull.as("isNew"))
-    }
-
     // Chained loop (see Materializer.chainCapacity): u supersteps built as
     // lazy checkpoints over each other, ONE union-multicount job materializes
     // them all and returns every substep's exact frontier count — u message
@@ -116,6 +99,18 @@ object MultiBfs {
     // substeps are identity maps on (pivot, id, dist) and are discarded).
     val chainLen = math.max(1, math.min(chain, mat.chainCapacity))
 
+    // AQE off while the loop's supersteps plan AND materialize (captured/
+    // restored like BitsetBfs.waves' confs): stripState's asserted
+    // hash(pivot, id) placement is exactly what the merge join's static plan
+    // produces; an AQE-coalesced or skew-split shuffle would place rows by a
+    // partitioning that HashPartitioning cannot describe, and the assertion
+    // would silently misjoin the next superstep. Every state is materialized
+    // inside the loop (iterateCountedWhere counts / the chain multicount),
+    // so restoring on exit leaves no lazy superstep to plan under AQE.
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val priorAqe = spark.conf.getOption(AqeKey)
+    spark.conf.set(AqeKey, "false")
+    try {
     while (frontierRows > 0 && d < maxIter) {
       val u = math.min(chainLen, maxIter - d)
       if (u <= 1) {
@@ -123,15 +118,15 @@ object MultiBfs {
         // count in each iteration's resume metadata): one lazy-checkpoint-
         // plus-filtered-count job per superstep
         d += 1
-        val (st, cnt) = mat.iterateCountedWhere(step(state), d, frontierRows.toDouble, col("isNew"))
-        state = strip(st)
+        val (st, cnt) = mat.iterateCountedWhere(step(state, adjacency), d, frontierRows.toDouble, col("isNew"))
+        state = stripState(st)
         frontierRows = cnt
         onSuperstep(d, frontierRows)
       } else {
         var built = Vector.empty[DataFrame]
         var s = state
         for (k <- 1 to u) {
-          s = strip(mat.iterateDeferred(step(s), d + k, -1.0))
+          s = stripState(mat.iterateDeferred(step(s, adjacency), d + k, -1.0))
           built :+= s
         }
         val counts = built.zipWithIndex
@@ -152,8 +147,44 @@ object MultiBfs {
         d += k - 1
       }
     }
+    } finally priorAqe.fold(spark.conf.unset(AqeKey))(spark.conf.set(AqeKey, _))
     state.select("pivot", "id", "dist")
   }
+
+  /** One superstep over the previous state (see object scaladoc). Package-
+    * visible so PlanDump and PlanSpec exercise the EXACT loop body instead
+    * of a drift-prone copy. The superstep references `prev` TWICE (frontier
+    * extraction + the merge join), so inherited checkpoint stats would
+    * SQUARE each iteration — every materialized state goes through
+    * [[stripState]] — and because stripped frames carry defaultSizeInBytes
+    * the merge join must say shuffle_hash explicitly (messages build side:
+    * bounded by Σ deg(frontier), always ≤ the accumulated state it probes).
+    */
+  private[graft] def step(prev: DataFrame, adjacency: DataFrame): DataFrame = {
+    val frontier = prev.where(col("isNew"))
+    val msgs = frontier
+      .join(adjacency, frontier("id") === adjacency("src"))
+      .select(col("pivot"), explode(col("neighbors")).as("id"),
+        (col("dist") + 1).as("md"))
+      .groupBy("pivot", "id")
+      .agg(min("md").as("md"))
+    prev
+      .select(col("pivot"), col("id"), col("dist").as("pd"))
+      .join(msgs.hint("shuffle_hash"), Seq("pivot", "id"), "full_outer")
+      .select(col("pivot"), col("id"),
+        coalesce(col("pd"), col("md")).as("dist"),
+        col("pd").isNull.as("isNew"))
+  }
+
+  /** Stats-strip a materialized superstep state AND assert its true
+    * hash(pivot, id) placement (the full-outer join's coalesced key
+    * projection hides it from Catalyst — see the object scaladoc and
+    * CheckpointStats.stripHashPartitioned). Only valid on [[step]] outputs
+    * materialized with AQE off, which is every state the loop tracks.
+    */
+  private[graft] def stripState(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CheckpointStats.stripHashPartitioned(
+      df, Seq("pivot", "id"))
 
   /** Single-source convenience. */
   def fromSource(spark: SparkSession, adjacency: DataFrame, source: Long, maxIter: Int = 256): DataFrame = {

@@ -23,23 +23,30 @@ object Graph {
     *
     * Shape (round 6, guide §2.3 "shuffle fewer bytes"): dedup the CANONICAL
     * orientation (least, greatest) — m rows through the distinct exchange —
-    * then mirror the non-loop rows back. The mirrored halves are disjoint by
-    * construction (src < dst vs src > dst), so the union needs no second
-    * dedup; the pre-round-6 form deduped arcs ∪ reversed arcs, 2m rows
-    * through the exchange plus a second scan of the input. Identical result
-    * set for any edge table with non-null endpoints (vertex ids are non-null
-    * everywhere in this engine; least/greatest would otherwise skip a null
-    * endpoint where the union form kept the row).
+    * then explode each surviving row into both orientations (loops once).
+    * The Generate sits ABOVE the aggregate, so the whole transform is one
+    * scan + ONE exchange of m canonical rows; the pre-round-6 form deduped
+    * arcs ∪ reversed arcs (2m rows through the exchange), and the first
+    * round-6 form (canon ∪ mirror-of-nonloop) planned the mirror branch as
+    * a SECOND scan + aggregate + exchange because Catalyst pushes the
+    * src≠dst filter below the distinct and the subtrees stop matching —
+    * same bytes exchanged as pre-round-6, plus a double scan. Identical
+    * result set for any edge table with non-null endpoints (vertex ids are
+    * non-null everywhere in this engine; least/greatest would otherwise
+    * skip a null endpoint where the union form kept the row).
     */
   def symmetrize(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val canon = e
-      .select(least(col("src"), col("dst")).as("src"),
+    e.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
-    canon.unionAll(
-      canon.where(col("src") =!= col("dst"))
-        .select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(
+        when(col("src") === col("dst"),
+          array(struct(col("src"), col("dst"))))
+          .otherwise(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst"))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** P6 — transpose: negative/in- centralities on a digraph are positive/

@@ -56,16 +56,21 @@ object PlanDump {
       .distinct()
       .select(col("pivot"), col("pivot").as("id"), lit(0).as("dist"), lit(true).as("isNew"))
       .localCheckpoint(true)
-    val frontier = init.where(col("isNew"))
-    val msgs = frontier.join(adj, frontier("id") === adj("src"))
-      .select(col("pivot"), explode(col("neighbors")).as("id"),
-        (col("dist") + 1).as("dist"), lit(true).as("isNew"))
-    val rowStep = init
-      .select(col("pivot"), col("id"), col("dist"), lit(false).as("isNew"))
-      .unionAll(msgs)
-      .groupBy("pivot", "id")
-      .agg(min("dist").as("dist"), bool_and(col("isNew")).as("isNew"))
-    dump("rowbfs_superstep", rowStep)
+    // round 6: the merge form — aggregate ONLY the frontier's messages, then
+    // full-outer merge into the state with its asserted hash(pivot,id)
+    // placement (the EXACT loop body: MultiBfs.step / MultiBfs.stripState;
+    // the before-file keeps the pre-round-6 union+groupBy). Dump the
+    // STEADY-STATE loop body: superstep 2 over a superstep-1 state
+    // materialized the way MultiBfs does it, so the state side of the merge
+    // join shows no Exchange (superstep 1's state is the single-partition
+    // pivot seed and would re-shuffle in any form). AQE off in this session
+    // already (the loop itself pins it off around its supersteps).
+    locally {
+      val mat = new graft.core.LocalMaterializer(window = 0)
+      val (st1, _) = mat.iterateCountedWhere(
+        MultiBfs.step(init, adj), 1, -1.0, col("isNew"))
+      dump("rowbfs_superstep", MultiBfs.step(MultiBfs.stripState(st1), adj))
+    }
 
     // ---- pagerank superstep ----
     val verts = adj.select(col("src").as("id")).distinct().localCheckpoint(true)

@@ -57,4 +57,40 @@ object CheckpointStats {
           lr.stream)(spark, None, None))
     case _ => df
   }
+
+  /** [[strip]], additionally ASSERTING that the checkpointed rows are
+    * hash-partitioned by `keys` with the RDD's own partition count.
+    *
+    * Why assert instead of keep: a full-outer USING join emits
+    * `coalesce(l.k, r.k) AS k` — a fresh attribute Catalyst cannot trace to
+    * either side's partitioning — so `Dataset.localCheckpoint` records
+    * `UnknownPartitioning` even though every output row physically sits in
+    * the partition `hash(keys)` selected by the join's own exchanges
+    * (coalesce of two join keys that are equal-or-absent IS the key). The
+    * caller must guarantee exactly that invariant: the frame is the
+    * (projected) output of a co-partitioned join/aggregate keyed on `keys`,
+    * planned with AQE off (coalesced or skew-split partitions are NOT a
+    * `HashPartitioning` — asserting one over them would silently misjoin).
+    * Used by the MultiBfs superstep loop, which pins AQE off for its
+    * duration. No-op for plans that are not a bare `LogicalRDD`.
+    */
+  def stripHashPartitioned(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val spark = df.sparkSession.asInstanceOf[ClassicSession]
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"stripHashPartitioned: no column '$k' in ${lr.output.map(_.name)}")))
+        Dataset.ofRows(
+          spark,
+          LogicalRDD(
+            lr.output,
+            lr.rdd,
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+              attrs, lr.rdd.getNumPartitions),
+            lr.outputOrdering,
+            lr.isStreaming,
+            lr.stream)(spark, None, None))
+      case _ => df
+    }
 }

@@ -84,4 +84,47 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("row-BFS steady-state superstep: messages-only exchange, state side exchange-free") {
+    // the loop's claim (MultiBfs scaladoc, round 6): with the state's
+    // asserted hash(pivot, id) placement (stripState — the full-outer USING
+    // join's coalesced key projection hides the true partitioning from
+    // Catalyst), a superstep's only shuffle Exchange is the message
+    // aggregate; the accumulated |V|-row state re-enters NO exchange.
+    // Exercise the EXACT loop body (MultiBfs.step / stripState) at
+    // superstep 2, whose prev state came through superstep 1 the way the
+    // loop materializes it.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val adj = graft.core.Graph.adjacency(graft.core.Graph.symmetrize(
+      Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L).toDF("src", "dst"))).persist()
+    adj.count()
+    val init = Seq(0L).toDF("pivot")
+      .select(col("pivot"), col("pivot").as("id"),
+        lit(0).as("dist"), lit(true).as("isNew"))
+      .localCheckpoint(true)
+    val mat = new graft.core.LocalMaterializer(window = 0)
+    val (st1raw, n1) = mat.iterateCountedWhere(
+      graft.algo.MultiBfs.step(init, adj), 1, -1.0, col("isNew"))
+    assert(n1 == 2L) // 4-cycle: superstep 1 from 0 discovers 1 and 3
+    val st1 = graft.algo.MultiBfs.stripState(st1raw)
+    val next = graft.algo.MultiBfs.step(st1, adj)
+    val plan = next.queryExecution.executedPlan.toString
+    // count shuffles in the LIVE plan only — everything under
+    // InMemoryRelation is the cached adjacency's build lineage, displayed
+    // but not re-executed (its exchanges ran once at persist time)
+    val live = plan.split("InMemoryRelation").head
+    assert("Exchange hashpartitioning".r.findAllMatchIn(live).size == 1, plan)
+    assert(live.contains("FullOuter"), plan)
+    assert(!live.contains("SortMergeJoin"), plan)
+    // the asserted plan must also be EXECUTABLE and RIGHT: superstep 2
+    // newly reaches vertex 2 (dist 2); 0/1/3 keep their settled distances
+    val got = next.collect()
+      .map(r => (r.getLong(1), (r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      0L -> ((0, false)), 1L -> ((1, false)), 3L -> ((1, false)),
+      2L -> ((2, true))), got)
+  }
 }
